@@ -1,0 +1,180 @@
+"""Radix-2 NTT / iNTT / coset-NTT over Fr limb arrays.
+
+TPU-native replacement for `ark-poly`'s `GeneralEvaluationDomain`
+fft/ifft/coset_fft (consumed by the reference at e.g.
+plonk-core/src/proof_system/preprocess.rs:303-341 and
+quotient_poly.rs:71-120).
+
+Design: the array keeps the fixed shape (L, n); each of the log2(n) stages is
+one vectorized butterfly (gather partner + one mont_mul) inside a
+`lax.fori_loop`, so the traced graph holds a single butterfly body regardless
+of n.  Twiddles come from one full (L, n/2) root table indexed per stage.
+
+Host-side exact NTT (Python ints) lives here too for golden checks.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..fields import host
+from ..fields.jaxfield import FR
+from ..fields.limb import vec_to_limbs
+
+U32 = jnp.uint32
+
+
+# --- host reference ---------------------------------------------------------
+
+def ntt_host(coeffs, domain: host.Domain):
+    """Evaluate polynomial (coefficient list, len<=n) on the domain. O(n log n)."""
+    n = domain.size
+    a = list(coeffs) + [0] * (n - len(coeffs))
+    return _ntt_host_core(a, domain.group_gen)
+
+
+def intt_host(evals, domain: host.Domain):
+    a = _ntt_host_core(list(evals), domain.group_gen_inv)
+    return [x * domain.size_inv % host.R for x in a]
+
+
+def coset_ntt_host(coeffs, domain: host.Domain, g=None):
+    g = domain.coset_gen if g is None else g
+    n = domain.size
+    a = list(coeffs) + [0] * (n - len(coeffs))
+    gp = 1
+    for i in range(n):
+        a[i] = a[i] * gp % host.R
+        gp = gp * g % host.R
+    return _ntt_host_core(a, domain.group_gen)
+
+
+def coset_intt_host(evals, domain: host.Domain, g=None):
+    g = domain.coset_gen if g is None else g
+    a = intt_host(evals, domain)
+    ginv = host.fr_inv(g)
+    gp = 1
+    for i in range(len(a)):
+        a[i] = a[i] * gp % host.R
+        gp = gp * ginv % host.R
+    return a
+
+
+def _ntt_host_core(a, w_n):
+    n = len(a)
+    r = host.R
+    if n == 1:
+        return a
+    k = n.bit_length() - 1
+    a = [a[_bitrev(i, k)] for i in range(n)]
+    m = 2
+    while m <= n:
+        wm = pow(w_n, n // m, r)
+        for start in range(0, n, m):
+            w = 1
+            for j in range(m // 2):
+                u = a[start + j]
+                t = a[start + j + m // 2] * w % r
+                a[start + j] = (u + t) % r
+                a[start + j + m // 2] = (u - t) % r
+                w = w * wm % r
+        m <<= 1
+    return a
+
+
+def _bitrev(i, k):
+    return int(bin(i)[2:].zfill(k)[::-1], 2)
+
+
+# --- device tables ----------------------------------------------------------
+
+class DeviceDomain:
+    """Per-size precomputed tables for device NTTs (Montgomery form)."""
+
+    def __init__(self, n: int):
+        self.host = host.Domain(n)
+        self.n = n
+        self.k = self.host.log_size
+        r = host.R
+        w = self.host.group_gen
+        wi = self.host.group_gen_inv
+        # root power tables W[j] = w^j for j < n/2 (and inverse)
+        half = max(n // 2, 1)
+        pw, pwi = [1] * half, [1] * half
+        for j in range(1, half):
+            pw[j] = pw[j - 1] * w % r
+            pwi[j] = pwi[j - 1] * wi % r
+        self.tw = jnp.asarray(vec_to_limbs([x * FR.R_mod % r for x in pw], FR.L))
+        self.tw_inv = jnp.asarray(vec_to_limbs([x * FR.R_mod % r for x in pwi], FR.L))
+        self.bitrev = jnp.asarray(
+            np.array([_bitrev(i, self.k) for i in range(n)], dtype=np.int32))
+        self.n_inv = jnp.asarray(FR.encode(self.host.size_inv))
+        # coset scaling vectors g^i and g^-i (Montgomery form)
+        g, gi = self.host.coset_gen, self.host.coset_gen_inv
+        pg, pgi = [1] * n, [1] * n
+        for j in range(1, n):
+            pg[j] = pg[j - 1] * g % r
+            pgi[j] = pgi[j - 1] * gi % r
+        self.coset_pow = jnp.asarray(vec_to_limbs([x * FR.R_mod % r for x in pg], FR.L))
+        self.coset_pow_inv = jnp.asarray(vec_to_limbs([x * FR.R_mod % r for x in pgi], FR.L))
+
+
+@functools.lru_cache(maxsize=None)
+def get_device_domain(n: int) -> DeviceDomain:
+    return DeviceDomain(n)
+
+
+# --- device NTT -------------------------------------------------------------
+
+def _ntt_core(x, tw, k: int):
+    """In-place radix-2 DIT NTT on bit-reversed input x: (L, n)."""
+    n = x.shape[1]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+
+    def stage(s, x):
+        # s = 1..k ; m = 2^s ; h = m/2
+        h = jnp.int32(1) << (s - 1)
+        m_mask = (jnp.int32(1) << s) - 1
+        j = idx & m_mask            # position within the size-m block
+        is_lo = j < h
+        partner = jnp.where(is_lo, idx + h, idx - h)
+        jmod = j & (h - 1)          # twiddle index within half-block
+        # twiddle exponent: jmod * (n / m) == jmod << (k - s)
+        texp = jmod << (k - s)
+        wj = tw[:, texp]            # (L, n) gather
+        xp = x[:, partner]
+        u = jnp.where(is_lo[None], x, xp)
+        v = jnp.where(is_lo[None], xp, x)
+        t = FR.mont_mul(wj, v)
+        return jnp.where(is_lo[None], FR.add(u, t), FR.sub(u, t))
+
+    return jax.lax.fori_loop(1, k + 1, stage, x, unroll=False)
+
+
+def ntt(x, dd: DeviceDomain):
+    """Forward NTT: coefficients -> evaluations (natural order), (L, n)."""
+    xr = x[:, dd.bitrev]
+    return _ntt_core(xr, dd.tw, dd.k)
+
+
+def intt(x, dd: DeviceDomain):
+    """Inverse NTT: evaluations -> coefficients."""
+    xr = x[:, dd.bitrev]
+    y = _ntt_core(xr, dd.tw_inv, dd.k)
+    return FR.mont_mul(y, dd.n_inv[:, None])
+
+
+def coset_ntt(x, dd: DeviceDomain):
+    """Evaluate coefficients on the coset g*H."""
+    scaled = FR.mont_mul(x, dd.coset_pow)
+    return ntt(scaled, dd)
+
+
+def coset_intt(x, dd: DeviceDomain):
+    """Interpolate from evaluations on the coset g*H."""
+    c = intt(x, dd)
+    return FR.mont_mul(c, dd.coset_pow_inv)

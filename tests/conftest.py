@@ -1,0 +1,21 @@
+"""Test configuration: run JAX on CPU with an 8-device virtual mesh.
+
+Mirrors SURVEY.md §4.8: CPU-backed jax with
+--xla_force_host_platform_device_count simulates an N-chip mesh so sharding
+paths are exercised without TPU hardware.
+
+NOTE: this environment pre-imports jax at interpreter startup, so
+JAX_PLATFORMS in os.environ is read too late; we must go through
+jax.config.update before any backend initializes.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,211 @@
+"""KZG10 polynomial commitment scheme (host reference path).
+
+TPU-native counterpart of the reference's `SonicKZG10` instantiation
+(/root/reference/plonk-core/src/commitment.rs:22-49).  Semantics mirrored:
+
+- `commit(p)`    = MSM over SRS G1 powers with p's coefficients
+- `open(polys, z, chi)` aggregates with powers of the opening challenge chi
+  (commitment.rs:96-129 `linear_combination`/`aggregate_polynomials`) and
+  returns W = commit((P - P(z))/(X - z))
+- `check` is the pairing identity e(C' - v'·G + z·W, H) == e(W, tau·H),
+  i.e. the 1-2 pairings per verify of reference proof.rs:398-425.
+
+The host MSM here is the golden model; the device Pippenger lives in
+curve/msm.py and is swapped in by the prover.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+
+from ..fields.host import R, fr_inv
+from ..curve import host as cv
+
+
+class SRS:
+    """Universal structured reference string (powers of tau).
+
+    Plays the role of `UniversalParams` from ark-poly-commit; trim = slice
+    (reference circuit.rs:236,276,310)."""
+
+    def __init__(self, g1_powers, g2_gen, g2_tau):
+        self.g1 = g1_powers          # [tau^i]G1, i = 0..d
+        self.h = g2_gen              # [1]G2
+        self.beta_h = g2_tau         # [tau]G2
+
+    @property
+    def max_degree(self):
+        return len(self.g1) - 1
+
+    def trim(self, supported_degree: int) -> "SRS":
+        if supported_degree > self.max_degree:
+            raise ValueError("trim beyond SRS size")
+        s = SRS(self.g1[: supported_degree + 1], self.h, self.beta_h)
+        return s
+
+    @staticmethod
+    def setup(max_degree: int, seed: bytes = b"arkplonk-tpu-test-srs",
+              cache_dir: str | None = None) -> "SRS":
+        """Deterministic test SRS (tau derived from seed). Cached on disk:
+        SURVEY.md §5.4 — the artifact lifecycle is the checkpoint system."""
+        if cache_dir is None:
+            cache_dir = os.path.join(os.path.dirname(__file__), "_srs_cache")
+        os.makedirs(cache_dir, exist_ok=True)
+        key = hashlib.sha256(seed + str(max_degree).encode()).hexdigest()[:16]
+        path = os.path.join(cache_dir, f"srs_{key}_{max_degree}.pkl")
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                g1, h, beta_h = pickle.load(f)
+            return SRS(g1, h, beta_h)
+        tau = int.from_bytes(hashlib.sha512(seed).digest(), "little") % R
+        g1 = _fixed_base_powers(cv.G1_GEN, tau, max_degree + 1)
+        h = cv.G2_GEN
+        beta_h = cv.G2.mul(h, tau)
+        with open(path, "wb") as f:
+            pickle.dump((g1, h, beta_h), f)
+        return SRS(g1, h, beta_h)
+
+
+def _fixed_base_powers(g, tau: int, count: int):
+    """[tau^i]G for i<count via windowed fixed-base multiplication."""
+    # precompute window tables for g: table[w][d] = d * 2^(8w) * g  (Jacobian)
+    window = 8
+    num_windows = (255 + window - 1) // window
+    base = cv.jac_from_affine(g)
+    tables = []
+    for _ in range(num_windows):
+        row = [(1, 1, 0)] * (1 << window)
+        acc = (1, 1, 0)
+        for d in range(1, 1 << window):
+            acc = cv.jac_add(acc, base)
+            row[d] = acc
+        tables.append(row)
+        for _ in range(window):
+            base = cv.jac_double(base)
+
+    def mul(k):
+        acc = (1, 1, 0)
+        for w in range(num_windows):
+            d = (k >> (w * window)) & ((1 << window) - 1)
+            if d:
+                acc = cv.jac_add(acc, tables[w][d])
+        return acc
+
+    out = []
+    t = 1
+    for _ in range(count):
+        out.append(cv.jac_to_affine(mul(t)))
+        t = t * tau % R
+    return out
+
+
+# --- polynomial helpers (host, coefficient lists of ints mod R) -------------
+
+def poly_eval(coeffs, x: int) -> int:
+    acc = 0
+    for c in reversed(coeffs):
+        acc = (acc * x + c) % R
+    return acc
+
+
+def poly_add(a, b):
+    n = max(len(a), len(b))
+    return [((a[i] if i < len(a) else 0) + (b[i] if i < len(b) else 0)) % R
+            for i in range(n)]
+
+
+def poly_scale(a, k: int):
+    return [c * k % R for c in a]
+
+
+def poly_mul(a, b):
+    if not a or not b:
+        return []
+    out = [0] * (len(a) + len(b) - 1)
+    for i, x in enumerate(a):
+        if x == 0:
+            continue
+        for j, y in enumerate(b):
+            out[i + j] = (out[i + j] + x * y) % R
+    return out
+
+
+def divide_by_linear(coeffs, z: int):
+    """Synthetic (Ruffini) division by (X - z): returns quotient; the caller
+    already knows the remainder is p(z)."""
+    q = [0] * max(len(coeffs) - 1, 0)
+    acc = 0
+    for i in range(len(coeffs) - 1, 0, -1):
+        acc = (acc * z + coeffs[i]) % R
+        q[i - 1] = acc
+    return q
+
+
+# --- commit / open / check --------------------------------------------------
+
+def commit(srs: SRS, coeffs, msm=None) -> tuple:
+    """Commit to coefficient list. `msm` may override the MSM implementation
+    (device Pippenger); defaults to the host reference."""
+    if len(coeffs) > len(srs.g1):
+        raise ValueError(f"polynomial degree {len(coeffs)-1} exceeds SRS")
+    idx = [i for i, c in enumerate(coeffs) if c % R != 0]
+    if not idx:
+        return None
+    points = [srs.g1[i] for i in idx]
+    scalars = [coeffs[i] % R for i in idx]
+    if msm is None:
+        return cv.msm_host(points, scalars)
+    return msm(points, scalars)
+
+
+class OpeningProof:
+    """KZG opening proof: a single G1 witness commitment (non-hiding).
+
+    Matches `kzg10::Proof { w, random_v: None }`."""
+
+    def __init__(self, w):
+        self.w = w
+
+    def __eq__(self, other):
+        return isinstance(other, OpeningProof) and self.w == other.w
+
+
+def open_polys(srs: SRS, polys, z: int, chi: int, msm=None) -> OpeningProof:
+    """Aggregate polys with powers of chi; witness for evaluation at z."""
+    agg = []
+    power = 1
+    for p in polys:
+        agg = poly_add(agg, poly_scale(p, power))
+        power = power * chi % R
+    v = poly_eval(agg, z)
+    agg[0] = (agg[0] - v) % R
+    w = divide_by_linear(agg, z)
+    return OpeningProof(commit(srs, w, msm=msm))
+
+
+def check(srs: SRS, commitments, z: int, values, proof: OpeningProof,
+          chi: int) -> bool:
+    """Verify an aggregated opening: one 2-pairing product."""
+    assert len(commitments) == len(values)
+    acc = None
+    v = 0
+    power = 1
+    for c, val in zip(commitments, values):
+        if c is not None:
+            acc = cv.G1.add(acc, cv.G1.mul(c, power))
+        v = (v + val * power) % R
+        power = power * chi % R
+    # C' - v G + z W
+    lhs = cv.G1.add(acc, cv.G1.neg(cv.G1.mul(cv.G1_GEN, v)))
+    w = proof.w
+    if w is not None:
+        lhs = cv.G1.add(lhs, cv.G1.mul(w, z))
+    # e(lhs, H) * e(-W, tau H) == 1
+    pairs = [(lhs, srs.h)]
+    if w is not None:
+        pairs.append((cv.G1.neg(w), srs.beta_h))
+    if lhs is None and w is None:
+        return True
+    return cv.multi_pairing([p for p in pairs if p[0] is not None]) == cv.F12_ONE

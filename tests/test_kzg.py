@@ -1,0 +1,71 @@
+"""KZG10 commit/open/check host reference tests."""
+
+import random
+
+from arkplonk_tpu.fields.host import R
+from arkplonk_tpu.pcs import kzg
+from arkplonk_tpu.curve import host as cv
+
+RNG = random.Random(99)
+
+
+def _srs(d=32):
+    return kzg.SRS.setup(d)
+
+
+def test_srs_structure():
+    srs = _srs(8)
+    # g1[i] should be tau^i * G: check pairing relation
+    # e(g1[i+1], H) == e(g1[i], beta_h)
+    lhs = cv.pairing(srs.g1[3], srs.h)
+    rhs = cv.pairing(srs.g1[2], srs.beta_h)
+    assert lhs == rhs
+    assert srs.g1[0] == cv.G1_GEN
+
+
+def test_poly_division():
+    p = [RNG.randrange(R) for _ in range(10)]
+    z = RNG.randrange(R)
+    v = kzg.poly_eval(p, z)
+    p0 = list(p)
+    p0[0] = (p0[0] - v) % R
+    q = kzg.divide_by_linear(p0, z)
+    # q*(X-z) == p - v
+    back = kzg.poly_add(kzg.poly_mul(q, [(-z) % R, 1]), [v])
+    assert [c % R for c in back] == p
+
+
+def test_open_check_single():
+    srs = _srs(32)
+    p = [RNG.randrange(R) for _ in range(20)]
+    c = kzg.commit(srs, p)
+    z = RNG.randrange(R)
+    chi = RNG.randrange(R)
+    proof = kzg.open_polys(srs, [p], z, chi)
+    assert kzg.check(srs, [c], z, [kzg.poly_eval(p, z)], proof, chi)
+    # wrong value fails
+    assert not kzg.check(srs, [c], z, [(kzg.poly_eval(p, z) + 1) % R],
+                         proof, chi)
+
+
+def test_open_check_aggregate():
+    srs = _srs(32)
+    polys = [[RNG.randrange(R) for _ in range(RNG.randrange(5, 30))]
+             for _ in range(4)]
+    comms = [kzg.commit(srs, p) for p in polys]
+    z = RNG.randrange(R)
+    chi = RNG.randrange(R)
+    proof = kzg.open_polys(srs, polys, z, chi)
+    vals = [kzg.poly_eval(p, z) for p in polys]
+    assert kzg.check(srs, comms, z, vals, proof, chi)
+    # tampered eval fails
+    bad = list(vals)
+    bad[2] = (bad[2] + 5) % R
+    assert not kzg.check(srs, comms, z, bad, proof, chi)
+    # wrong challenge fails
+    assert not kzg.check(srs, comms, z, vals, proof, (chi + 1) % R)
+
+
+def test_zero_poly_commit():
+    srs = _srs(8)
+    assert kzg.commit(srs, [0, 0, 0]) is None

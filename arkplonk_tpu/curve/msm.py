@@ -1,0 +1,178 @@
+"""Device Pippenger multi-scalar multiplication.
+
+TPU-native replacement for arkworks `VariableBaseMSM::multi_scalar_mul`
+(reference commitment.rs:36-47) following SURVEY.md §2.2 / §7.3: the
+bucket scatter (memory-random on CPU/GPU) is reformulated sort-free-ish as
+sort + segmented associative scan + searchsorted gather — all primitives
+that map onto the TPU.
+
+Per window of c bits:
+  1. digits d_i from the scalar limb matrix
+  2. stable argsort by digit; gather points into sorted order
+  3. segmented inclusive scan (combine = jac_add, reset across segments)
+  4. bucket totals gathered at segment ends via searchsorted
+  5. weighted bucket reduction sum_b b*S_b via a reversed scan of suffix
+     sums + tree reduction
+Window results are recombined on host (255 cheap point doublings).
+
+Multi-chip sharding (BASELINE: "points partitioned across chips, bucket
+sums reduced via psum") happens one level up in mesh/sharding.py by
+sharding the point axis and jac-adding the per-shard results.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..fields.jaxfield import FQ, U32
+from ..fields.limb import W as LIMB_BITS
+from ..fields.host import R
+from . import g1_jax as g1
+from . import host as cv
+
+def pick_window(n: int) -> int:
+    """Pippenger window size ~ log2(n), aligned to 16-bit limb splits."""
+    if n >= 1 << 14:
+        return 16
+    if n >= 1 << 7:
+        return 8
+    return 4
+
+
+def scalars_to_digits(scalars, window: int) -> np.ndarray:
+    """Host ints -> (num_windows, n) int32 digit matrix."""
+    from ..fields.limb import encode_ints
+    raw = encode_ints([s % R for s in scalars], 16)  # (16, n) 16-bit limbs
+    if window == 16:
+        return raw.astype(np.int32)
+    per = 16 // window
+    mask = (1 << window) - 1
+    parts = [(raw >> (window * k)) & mask for k in range(per)]
+    # interleave: window w of scalar = limb w//per, sub-digit w%per
+    out = np.empty((16 * per, raw.shape[1]), dtype=np.int32)
+    for limb in range(16):
+        for k in range(per):
+            out[limb * per + k] = parts[k][limb]
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _all_windows_fn(n: int, window: int):
+    """vmap over windows: ONE compile, all windows batched (better MXU/VPU
+    utilization and ~num_windows fewer XLA compiles)."""
+    f = _window_body(n, window)
+    return jax.jit(jax.vmap(f, in_axes=(0, None, None, None)))
+
+
+def _window_body(n: int, window: int):
+    def f(digits, px, py, pz):
+        """One window: digits (n,) int32, points (L, n) each.
+        Returns the window sum as a single Jacobian point (L, 1) each."""
+        order = jnp.argsort(digits, stable=True)
+        d_s = digits[order]
+        pt = (px[:, order], py[:, order], pz[:, order])
+
+        def combine(a, b):
+            (ax, ay, az, aseg) = a
+            (bx, by, bz, bseg) = b
+            same = aseg[0] == bseg[0]  # (k,) segment-equality mask
+            sx, sy, sz = g1.jac_add((ax, ay, az), (bx, by, bz))
+            ox = FQ.select(same, sx, bx)
+            oy = FQ.select(same, sy, by)
+            oz = FQ.select(same, sz, bz)
+            return (ox, oy, oz, bseg)
+
+        scanned = jax.lax.associative_scan(
+            combine, (pt[0], pt[1], pt[2], d_s[None, :]), axis=1)
+        sums = (scanned[0], scanned[1], scanned[2])
+
+        # bucket totals at segment ends: for bucket b, last index with
+        # d_s == b is searchsorted(d_s, b, 'right') - 1
+        nb = 1 << window
+        buckets = jnp.arange(1, nb, dtype=jnp.int32)
+        idx = jnp.searchsorted(d_s, buckets, side="right") - 1
+        valid = (idx >= 0) & (d_s[jnp.clip(idx, 0, n - 1)] == buckets)
+        idx = jnp.clip(idx, 0, n - 1)
+        bx = sums[0][:, idx]
+        by = sums[1][:, idx]
+        bz = FQ.select(valid, sums[2][:, idx], FQ.zeros((nb - 1,)))
+
+        # weighted reduction: sum_b b * S_b = sum of suffix sums
+        rx = jnp.flip(bx, axis=1)
+        ry = jnp.flip(by, axis=1)
+        rz = jnp.flip(bz, axis=1)
+
+        def comb2(a, b):
+            return g1.jac_add(a, b)
+
+        suff = jax.lax.associative_scan(comb2, (rx, ry, rz), axis=1)
+        # total = sum over all suffix sums
+        total = _tree_sum(suff)
+        return total
+
+    return f
+
+
+def _tree_sum(p):
+    x, y, z = p
+    n = x.shape[1]
+    while n > 1:
+        half = n // 2
+        a = (x[:, :half], y[:, :half], z[:, :half])
+        b = (x[:, half:2 * half], y[:, half:2 * half], z[:, half:2 * half])
+        s = g1.jac_add(a, b)
+        if n % 2:
+            x = jnp.concatenate([s[0], x[:, -1:]], axis=1)
+            y = jnp.concatenate([s[1], y[:, -1:]], axis=1)
+            z = jnp.concatenate([s[2], z[:, -1:]], axis=1)
+        else:
+            x, y, z = s
+        n = x.shape[1]
+    return (x, y, z)
+
+
+class DeviceMSM:
+    """Fixed point set (e.g. the SRS G1 powers) resident on device."""
+
+    def __init__(self, points):
+        self.n = len(points)
+        self.points = g1.encode_points(points)
+
+    def mul(self, scalars) -> "tuple | None":
+        """MSM over the first len(scalars) points; returns host affine."""
+        n_real = len(scalars)
+        assert n_real <= self.n
+        # pad to a power of two (>= 32): zero scalars contribute nothing and
+        # every commitment in a prove shares one compiled kernel
+        n = max(32, 1 << (n_real - 1).bit_length())
+        n = min(n, self.n) if self.n >= n else n_real
+        scalars = list(scalars) + [0] * (n - n_real)
+        window = pick_window(n)
+        digits = jnp.asarray(scalars_to_digits(scalars, window))
+        px, py, pz = (c[:, :n] for c in self.points)
+        if px.shape[1] < n:  # SRS smaller than pad target
+            pad = n - px.shape[1]
+            px = jnp.concatenate([px, jnp.tile(px[:, :1], (1, pad))], axis=1)
+            py = jnp.concatenate([py, jnp.tile(py[:, :1], (1, pad))], axis=1)
+            pz = jnp.concatenate([pz, jnp.tile(pz[:, :1], (1, pad))], axis=1)
+        fn = _all_windows_fn(n, window)
+        ws = fn(digits, px, py, pz)
+        # ws: pytree of (num_windows, L, 1) stacked window sums
+        pts = g1.decode_points(tuple(c.squeeze(-1).T for c in ws))
+        # host recombination: acc = sum_w 2^{cw} W_w
+        acc = (1, 1, 0)
+        for wsum in reversed(pts):
+            for _ in range(window):
+                acc = cv.jac_double(acc)
+            if wsum is not None:
+                acc = cv.jac_add(acc, cv.jac_from_affine(wsum))
+        return cv.jac_to_affine(acc)
+
+
+def msm_device(points, scalars):
+    """One-shot device MSM (encodes points each call)."""
+    return DeviceMSM(points).mul(scalars)

@@ -14,6 +14,8 @@ singletons.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -66,6 +68,32 @@ class JaxField:
             return vals
         return np.array(vals, dtype=object).reshape(shape)
 
+    def to_mont(self, raw):
+        """Raw (plain-integer) limbs -> Montgomery form (device op)."""
+        R2 = jnp.asarray(self.R2_np, dtype=U32).reshape(
+            (self.L,) + (1,) * (raw.ndim - 1))
+        return self.mont_mul(raw, R2)
+
+    def from_mont(self, a):
+        """Montgomery form -> raw limbs (device op)."""
+        one = jnp.zeros((self.L,) + (1,) * (a.ndim - 1), dtype=U32)
+        one = one.at[0].set(1)
+        return self.mont_mul(a, one)
+
+    def encode_fast(self, xs) -> jnp.ndarray:
+        """ints -> Montgomery limb array via the bytes fast path + device
+        to_mont. Returns (L, n) device array."""
+        from .limb import encode_ints
+        raw = jnp.asarray(encode_ints([x % self.modulus for x in xs], self.L))
+        return self.to_mont(raw)
+
+    def decode_fast(self, a) -> list:
+        """Montgomery limb array -> ints via device from_mont + bytes."""
+        from .limb import decode_ints
+        import jax
+        raw = jax.device_get(self.from_mont(a))
+        return decode_ints(raw)
+
     def zeros(self, shape=()) -> jnp.ndarray:
         return jnp.zeros((self.L,) + tuple(shape), dtype=U32)
 
@@ -76,112 +104,121 @@ class JaxField:
 
     # ---- limb helpers -----------------------------------------------------
 
+    @functools.cached_property
+    def _conv_matrix(self):
+        """Constant (2L, 2L^2) f32 0/1 matrix turning the flattened lo||hi
+        partial-product tensor into schoolbook column sums via ONE dot.
+
+        Column sums stay < 2^21 < 2^24, so f32 accumulation is exact; on
+        TPU the dot rides the MXU instead of a pad/add chain on the VPU."""
+        L = self.L
+        T = np.zeros((2 * L, 2 * L * L), dtype=np.float32)
+        for i in range(L):
+            for j in range(L):
+                k = i + j
+                T[k, i * L + j] = 1.0              # lo contribution
+                if k + 1 < 2 * L:
+                    T[k + 1, L * L + i * L + j] = 1.0  # hi contribution
+        return T
+
+    def _mul_cols(self, a, b, trunc=None):
+        """Schoolbook column accumulators of a*b.
+
+        a, b: (L, ...) limb arrays (16-bit clean). Returns (2L, ...) uint32
+        column sums (each < 2^22); column k = sum_{i+j=k} lo(a_i b_j)
+        + sum_{i+j=k-1} hi(a_i b_j). `trunc` slices the output columns."""
+        L = self.L
+        assert a.shape[0] == L and b.shape[0] == L
+        shape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+        P = a[:, None] * b[None, :]          # (L, L, ...) u32 products
+        lo = (P & MASK).astype(jnp.float32)
+        hi = (P >> W).astype(jnp.float32)
+        stacked = jnp.concatenate(
+            [lo.reshape((L * L,) + shape), hi.reshape((L * L,) + shape)],
+            axis=0)
+        cols = jax.lax.dot_general(
+            self._conv_matrix, stacked.reshape(2 * L * L, -1),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        cols = cols.reshape((2 * L,) + shape).astype(U32)
+        if trunc is not None:
+            cols = cols[:trunc]
+        return cols
+
     def _carry(self, cols, out_len):
         """Propagate 16-bit carries through column accumulators.
 
         cols: (ncols, ...) uint32 array (each entry < 2^31). Returns
-        (out_len, ...) array of 16-bit limbs. Carry past out_len is dropped
-        (caller guarantees it is zero)."""
+        (out_len, ...) array of 16-bit limbs via one lax.scan (compact
+        graph). Carry past out_len is dropped (caller guarantees zero)."""
         ncols = cols.shape[0]
-        out = []
-        c = jnp.zeros(cols.shape[1:], dtype=U32)
-        for k in range(out_len):
-            s = (cols[k] + c) if k < ncols else c
-            out.append(s & MASK)
-            c = s >> W
-        return jnp.stack(out, axis=0)
+        if ncols < out_len:
+            cols = jnp.concatenate(
+                [cols, jnp.zeros((out_len - ncols,) + cols.shape[1:], U32)],
+                axis=0)
+        else:
+            cols = cols[:out_len]
 
-    def _mul_cols(self, a, b, trunc=None):
-        """Schoolbook column accumulators of a*b (no scatters).
+        def step(c, col):
+            s = col + c
+            return s >> W, s & MASK
 
-        a: (La, ...), b: (Lb, ...) limb arrays (16-bit clean).
-        Returns (ncols, ...) array of column sums, each < 2^22, where
-        ncols = La+Lb+1 (or `trunc`).  Column k holds
-        sum_{i+j=k} lo(a_i*b_j) + sum_{i+j=k-1} hi(a_i*b_j).
-        """
-        La, Lb = a.shape[0], b.shape[0]
-        ncols = (La + Lb + 1) if trunc is None else trunc
-        shape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
-        # all partial products in one broadcast multiply: (La, Lb, ...)
-        P = a[:, None] * b[None, :]
-        lo = P & MASK
-        hi = P >> W
-        pad_width = [(0, 0)] * (len(shape) + 1)
-        acc = jnp.zeros((ncols,) + shape, dtype=U32)
-        for i in range(La):
-            if trunc is not None and i >= ncols:
-                break
-            # row i of lo occupies columns i..i+Lb-1 ; hi -> i+1..i+Lb
-            row_lo, row_hi = lo[i], hi[i]
-            lo_pad = list(pad_width)
-            lo_pad[0] = (i, max(ncols - i - Lb, 0))
-            row = jnp.pad(row_lo[:ncols - i] if trunc is not None else row_lo,
-                          lo_pad)
-            acc = acc + row[:ncols]
-            if i + 1 < ncols:
-                hi_pad = list(pad_width)
-                hi_pad[0] = (i + 1, max(ncols - i - 1 - Lb, 0))
-                rowh = jnp.pad(row_hi[:ncols - i - 1] if trunc is not None else row_hi,
-                               hi_pad)
-                acc = acc + rowh[:ncols]
-        return acc
+        _, out = jax.lax.scan(step, jnp.zeros(cols.shape[1:], U32), cols)
+        return out
 
     # ---- core ops ---------------------------------------------------------
 
+    def _scan_sub(self, a, b):
+        """(a - b) mod R limbwise + final borrow flag; one lax.scan."""
+        shape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+
+        def step(bor, ab):
+            ak, bk = ab
+            t = ak + U32(0x10000) - bk - bor
+            return U32(1) - (t >> W), t & MASK
+
+        a = jnp.broadcast_to(a, (self.L,) + shape)
+        b = jnp.broadcast_to(b, (self.L,) + shape)
+        bor, d = jax.lax.scan(step, jnp.zeros(shape, U32), (a, b))
+        return d, bor
+
+    def _scan_add(self, a, b):
+        """(a + b) limbwise mod R (carry out dropped); one lax.scan."""
+        shape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+
+        def step(c, ab):
+            ak, bk = ab
+            s = ak + bk + c
+            return s >> W, s & MASK
+
+        a = jnp.broadcast_to(a, (self.L,) + shape)
+        b = jnp.broadcast_to(b, (self.L,) + shape)
+        _, out = jax.lax.scan(step, jnp.zeros(shape, U32), (a, b))
+        return out
+
+    def _n_limbs_bcast(self, ndim):
+        return jnp.asarray(self.N_np, dtype=U32).reshape(
+            (self.L,) + (1,) * (ndim - 1))
+
     def _cond_sub_n(self, a):
         """a - N if a >= N else a, for a < 2N given as (L, ...) 16-bit limbs."""
-        N = self.N_np
-        bor = jnp.zeros(a.shape[1:], dtype=U32)
-        diff = []
-        for k in range(self.L):
-            d = a[k] + U32(0x10000 - int(N[k])) - bor
-            diff.append(d & MASK)
-            bor = U32(1) - (d >> W)
+        diff, bor = self._scan_sub(a, self._n_limbs_bcast(a.ndim))
         # bor == 1  =>  a < N  => keep a
-        keep = bor.astype(bool)
-        diff = jnp.stack(diff, axis=0)
-        return jnp.where(keep[None], a, diff)
+        return jnp.where(bor.astype(bool)[None], a, diff)
 
     def add(self, a, b):
-        c = jnp.zeros(jnp.broadcast_shapes(a.shape[1:], b.shape[1:]), dtype=U32)
-        out = []
-        for k in range(self.L):
-            s = a[k] + b[k] + c
-            out.append(s & MASK)
-            c = s >> W
         # a+b < 2N < R so the final carry is 0
-        return self._cond_sub_n(jnp.stack(out, axis=0))
+        return self._cond_sub_n(self._scan_add(a, b))
 
     def sub(self, a, b):
         # d = a - b (mod R) with borrow flag; if a < b add N back.
-        shape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
-        bor = jnp.zeros(shape, dtype=U32)
-        d = []
-        for k in range(self.L):
-            t = a[k] + U32(0x10000) - b[k] - bor
-            d.append(t & MASK)
-            bor = U32(1) - (t >> W)
-        d = jnp.stack(d, axis=0)
-        # e = d + N (mod R): when a<b, d = a-b+R and e wraps to a-b+N < N.
-        c = jnp.zeros(shape, dtype=U32)
-        e = []
-        for k in range(self.L):
-            s = d[k] + U32(int(self.N_np[k])) + c
-            e.append(s & MASK)
-            c = s >> W
-        e = jnp.stack(e, axis=0)
+        d, bor = self._scan_sub(a, b)
+        e = self._scan_add(d, self._n_limbs_bcast(d.ndim))
         return jnp.where(bor.astype(bool)[None], e, d)
 
     def neg(self, a):
         z = self.is_zero(a)
-        N = jnp.asarray(self.N_np, dtype=U32).reshape((self.L,) + (1,) * (a.ndim - 1))
-        bor = jnp.zeros(a.shape[1:], dtype=U32)
-        out = []
-        for k in range(self.L):
-            d = N[k] + U32(0x10000) - a[k] - bor
-            out.append(d & MASK)
-            bor = U32(1) - (d >> W)
-        res = jnp.stack(out, axis=0)
+        res, _ = self._scan_sub(self._n_limbs_bcast(a.ndim), a)
         return jnp.where(z[None], jnp.zeros_like(res), res)
 
     def mont_mul(self, a, b):

@@ -66,3 +66,28 @@ def limbs_to_vec(a: np.ndarray) -> list[int]:
         for j in range(flat.shape[1]):
             vals[j] = (vals[j] << W) | int(flat[i, j])
     return vals
+
+
+# --- fast vectorized codecs (bytes-based; O(n) C-speed per element) ---------
+
+def encode_ints(xs, L: int) -> np.ndarray:
+    """List of ints -> (L, n) uint32 raw (NON-Montgomery) limbs, fast path.
+
+    Each int is serialized to 2*L little-endian bytes, then viewed as
+    uint16 limbs; avoids the per-limb Python loop of `vec_to_limbs`."""
+    n = len(xs)
+    nbytes = 2 * L
+    buf = b"".join(x.to_bytes(nbytes, "little") for x in xs)
+    arr = np.frombuffer(buf, dtype="<u2").reshape(n, L)
+    return np.ascontiguousarray(arr.T).astype(np.uint32)
+
+
+def decode_ints(a: np.ndarray) -> list:
+    """(L, n) uint32 raw limbs -> list of ints, fast path."""
+    a = np.asarray(a)
+    L, n = a.shape[0], int(np.prod(a.shape[1:], dtype=np.int64))
+    u16 = a.reshape(L, n).T.astype("<u2")
+    raw = u16.tobytes()
+    nbytes = 2 * L
+    return [int.from_bytes(raw[i * nbytes:(i + 1) * nbytes], "little")
+            for i in range(n)]

@@ -102,25 +102,29 @@ class DeviceDomain:
         r = host.R
         w = self.host.group_gen
         wi = self.host.group_gen_inv
-        # root power tables W[j] = w^j for j < n/2 (and inverse)
-        half = max(n // 2, 1)
-        pw, pwi = [1] * half, [1] * half
-        for j in range(1, half):
-            pw[j] = pw[j - 1] * w % r
-            pwi[j] = pwi[j - 1] * wi % r
-        self.tw = jnp.asarray(vec_to_limbs([x * FR.R_mod % r for x in pw], FR.L))
-        self.tw_inv = jnp.asarray(vec_to_limbs([x * FR.R_mod % r for x in pwi], FR.L))
+
+        def powers(base, count):
+            out = [1] * count
+            for j in range(1, count):
+                out[j] = out[j - 1] * base % r
+            return out
+
+        def enc(xs):
+            from ..fields.limb import encode_ints
+            return jnp.asarray(
+                encode_ints([x * FR.R_mod % r for x in xs], FR.L))
+
+        # full root tables W[j] = w^j (doubles as the `linear_evaluations`
+        # domain-elements table) and inverse
+        self.roots = enc(powers(w, n))
+        self.tw = self.roots[:, :max(n // 2, 1)]
+        self.tw_inv = enc(powers(wi, max(n // 2, 1)))
         self.bitrev = jnp.asarray(
             np.array([_bitrev(i, self.k) for i in range(n)], dtype=np.int32))
         self.n_inv = jnp.asarray(FR.encode(self.host.size_inv))
         # coset scaling vectors g^i and g^-i (Montgomery form)
-        g, gi = self.host.coset_gen, self.host.coset_gen_inv
-        pg, pgi = [1] * n, [1] * n
-        for j in range(1, n):
-            pg[j] = pg[j - 1] * g % r
-            pgi[j] = pgi[j - 1] * gi % r
-        self.coset_pow = jnp.asarray(vec_to_limbs([x * FR.R_mod % r for x in pg], FR.L))
-        self.coset_pow_inv = jnp.asarray(vec_to_limbs([x * FR.R_mod % r for x in pgi], FR.L))
+        self.coset_pow = enc(powers(self.host.coset_gen, n))
+        self.coset_pow_inv = enc(powers(self.host.coset_gen_inv, n))
 
 
 @functools.lru_cache(maxsize=None)
@@ -131,8 +135,12 @@ def get_device_domain(n: int) -> DeviceDomain:
 # --- device NTT -------------------------------------------------------------
 
 def _ntt_core(x, tw, k: int):
-    """In-place radix-2 DIT NTT on bit-reversed input x: (L, n)."""
-    n = x.shape[1]
+    """Radix-2 DIT NTT on bit-reversed input x: (L, ..., n).
+
+    Any batch dims between the limb axis and the element axis are allowed;
+    all batch polys share the same butterfly/twiddle schedule."""
+    n = x.shape[-1]
+    nb = x.ndim - 2  # number of batch dims
     idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
 
     def stage(s, x):
@@ -146,35 +154,44 @@ def _ntt_core(x, tw, k: int):
         # twiddle exponent: jmod * (n / m) == jmod << (k - s)
         texp = jmod << (k - s)
         wj = tw[:, texp]            # (L, n) gather
-        xp = x[:, partner]
-        u = jnp.where(is_lo[None], x, xp)
-        v = jnp.where(is_lo[None], xp, x)
+        wj = wj.reshape(wj.shape[:1] + (1,) * nb + wj.shape[1:])
+        xp = x[..., partner]
+        mask = is_lo.reshape((1,) * (x.ndim - 1) + (n,))
+        u = jnp.where(mask, x, xp)
+        v = jnp.where(mask, xp, x)
         t = FR.mont_mul(wj, v)
-        return jnp.where(is_lo[None], FR.add(u, t), FR.sub(u, t))
+        return jnp.where(mask, FR.add(u, t), FR.sub(u, t))
 
     return jax.lax.fori_loop(1, k + 1, stage, x, unroll=False)
 
 
+def _bcast(table, x):
+    """Reshape an (L, n) per-domain table for an (L, ..., n) operand."""
+    nb = x.ndim - 2
+    return table.reshape(table.shape[:1] + (1,) * nb + table.shape[1:])
+
+
 def ntt(x, dd: DeviceDomain):
-    """Forward NTT: coefficients -> evaluations (natural order), (L, n)."""
-    xr = x[:, dd.bitrev]
+    """Forward NTT: coefficients -> evaluations (natural order), (L, ..., n)."""
+    xr = x[..., dd.bitrev]
     return _ntt_core(xr, dd.tw, dd.k)
 
 
 def intt(x, dd: DeviceDomain):
     """Inverse NTT: evaluations -> coefficients."""
-    xr = x[:, dd.bitrev]
+    xr = x[..., dd.bitrev]
     y = _ntt_core(xr, dd.tw_inv, dd.k)
-    return FR.mont_mul(y, dd.n_inv[:, None])
+    n_inv = dd.n_inv.reshape((FR.L,) + (1,) * (x.ndim - 1))
+    return FR.mont_mul(y, n_inv)
 
 
 def coset_ntt(x, dd: DeviceDomain):
     """Evaluate coefficients on the coset g*H."""
-    scaled = FR.mont_mul(x, dd.coset_pow)
+    scaled = FR.mont_mul(x, _bcast(dd.coset_pow, x))
     return ntt(scaled, dd)
 
 
 def coset_intt(x, dd: DeviceDomain):
     """Interpolate from evaluations on the coset g*H."""
     c = intt(x, dd)
-    return FR.mont_mul(c, dd.coset_pow_inv)
+    return FR.mont_mul(c, _bcast(dd.coset_pow_inv, x))

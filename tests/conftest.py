@@ -19,3 +19,7 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# NOTE: do NOT enable the persistent XLA compile cache here — this sandbox
+# records CPU AOT entries with machine features that fail validation on
+# reload, so every lookup thrashes (observed: >8x slowdown).

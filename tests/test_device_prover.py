@@ -1,0 +1,71 @@
+"""Device prover vs host golden prover: identical proofs, verifies OK.
+
+The deterministic blinding RNG makes the two paths byte-comparable
+(SURVEY.md §4.8b: golden cross-checks between slow and fast paths).
+"""
+
+import random
+
+import pytest
+
+from arkplonk_tpu.api.circuit import Verifier
+from arkplonk_tpu.proving.prover import Prover
+from arkplonk_tpu.proving.device import DeviceProver
+from arkplonk_tpu.circuit.lookup_table import LookupTable
+from arkplonk_tpu.fields.host import R
+from arkplonk_tpu.pcs import kzg
+
+SRS = kzg.SRS.setup(1 << 9)
+
+
+def mk_rng():
+    rng = random.Random(0xBEEF)
+    return lambda: rng.randrange(0, 1 << 255)
+
+
+def build_gadget(cs):
+    cs.lookup_table = LookupTable.xor_table(0, 2)
+    a = cs.add_input(3)
+    b = cs.add_input(5)
+    c = cs.arithmetic_gate((a, b, None), add=(1, 1))
+    d = cs.arithmetic_gate((a, c, None), mul=1)
+    cs.constrain_to_constant(d, 24, None)
+    v = cs.add_input(13)
+    cs.range_gate(v, 4)
+    x = cs.add_input(2)
+    y = cs.add_input(1)
+    out = cs.add_input(3)
+    cs.lookup_gate(x, y, out, cs.add_input((R - 1) % R))
+    w = cs.xor_gate(a, b, 4)
+    cs.constrain_to_constant(w, 6, None)
+
+
+def _proof_fields(p):
+    return [p.a_comm, p.b_comm, p.c_comm, p.d_comm, p.z_comm, p.f_comm,
+            p.h_1_comm, p.h_2_comm, p.z_2_comm, p.t_1_comm, p.t_2_comm,
+            p.t_3_comm, p.t_4_comm, p.aw_opening.w, p.saw_opening.w,
+            p.evaluations]
+
+
+def test_device_prover_matches_host():
+    host_prover = Prover(b"demo", rng=mk_rng())
+    build_gadget(host_prover.cs)
+    host_prover.preprocess(SRS)
+    pis = dict(host_prover.cs.public_inputs)
+    host_proof = host_prover.prove_with_preprocessed(
+        SRS, host_prover.prover_key)
+
+    dev_prover = DeviceProver(b"demo", rng=mk_rng())
+    build_gadget(dev_prover.cs)
+    dev_prover.preprocess(SRS)
+    dev_proof = dev_prover.prove_with_preprocessed(SRS, dev_prover.device_pk)
+
+    hf = _proof_fields(host_proof)
+    df = _proof_fields(dev_proof)
+    for i, (h, d) in enumerate(zip(hf, df)):
+        assert h == d, f"proof field {i} differs"
+
+    verifier = Verifier(b"demo", rng=mk_rng())
+    build_gadget(verifier.cs)
+    verifier.preprocess(SRS)
+    assert verifier.verify(dev_proof, SRS, pis)

@@ -136,11 +136,16 @@ class JaxField:
         stacked = jnp.concatenate(
             [lo.reshape((L * L,) + shape), hi.reshape((L * L,) + shape)],
             axis=0)
+        # Precision.HIGHEST: on TPU this is the bf16x6 decomposition, which
+        # is EXACT here — inputs are integers < 2^16 (exactly split into
+        # 3 bf16 terms) and all partial sums are integers < 2^24, exact in
+        # f32. The default (bf16 truncation) is NOT exact.
         cols = jax.lax.dot_general(
-            self._conv_matrix, stacked.reshape(2 * L * L, -1),
+            self._conv_matrix, stacked,
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        cols = cols.reshape((2 * L,) + shape).astype(U32)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        cols = cols.astype(U32)
         if trunc is not None:
             cols = cols[:trunc]
         return cols

@@ -134,11 +134,31 @@ def get_device_domain(n: int) -> DeviceDomain:
 
 # --- device NTT -------------------------------------------------------------
 
-def _ntt_core(x, tw, k: int):
+def _shspec(ndim, mesh_axes):
+    """NamedSharding for an (L, ..., n) array: last axis over the mesh."""
+    if mesh_axes is None:
+        return None
+    mesh, axis = mesh_axes
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    return NamedSharding(mesh, P(*([None] * (ndim - 1) + [axis])))
+
+
+def _gather_last(x, idx, mesh_axes):
+    """x[..., idx] with explicit out_sharding when running sharded
+    (cross-shard gathers are otherwise ambiguous to the partitioner)."""
+    if mesh_axes is None:
+        return x[..., idx]
+    return x.at[..., idx].get(out_sharding=_shspec(x.ndim, mesh_axes))
+
+
+def _ntt_core(x, tw, k: int, mesh_axes=None):
     """Radix-2 DIT NTT on bit-reversed input x: (L, ..., n).
 
     Any batch dims between the limb axis and the element axis are allowed;
-    all batch polys share the same butterfly/twiddle schedule."""
+    all batch polys share the same butterfly/twiddle schedule.
+    `mesh_axes=(mesh, axis_name)` enables sharded execution: the butterfly
+    partner/twiddle gathers get explicit output shardings (the partitioner
+    lowers the cross-shard strides to collectives)."""
     n = x.shape[-1]
     nb = x.ndim - 2  # number of batch dims
     idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
@@ -153,9 +173,9 @@ def _ntt_core(x, tw, k: int):
         jmod = j & (h - 1)          # twiddle index within half-block
         # twiddle exponent: jmod * (n / m) == jmod << (k - s)
         texp = jmod << (k - s)
-        wj = tw[:, texp]            # (L, n) gather
+        wj = _gather_last(tw, texp, mesh_axes)   # (L, n) gather
         wj = wj.reshape(wj.shape[:1] + (1,) * nb + wj.shape[1:])
-        xp = x[..., partner]
+        xp = _gather_last(x, partner, mesh_axes)
         mask = is_lo.reshape((1,) * (x.ndim - 1) + (n,))
         u = jnp.where(mask, x, xp)
         v = jnp.where(mask, xp, x)
@@ -171,27 +191,27 @@ def _bcast(table, x):
     return table.reshape(table.shape[:1] + (1,) * nb + table.shape[1:])
 
 
-def ntt(x, dd: DeviceDomain):
+def ntt(x, dd: DeviceDomain, mesh_axes=None):
     """Forward NTT: coefficients -> evaluations (natural order), (L, ..., n)."""
-    xr = x[..., dd.bitrev]
-    return _ntt_core(xr, dd.tw, dd.k)
+    xr = _gather_last(x, dd.bitrev, mesh_axes)
+    return _ntt_core(xr, dd.tw, dd.k, mesh_axes)
 
 
-def intt(x, dd: DeviceDomain):
+def intt(x, dd: DeviceDomain, mesh_axes=None):
     """Inverse NTT: evaluations -> coefficients."""
-    xr = x[..., dd.bitrev]
-    y = _ntt_core(xr, dd.tw_inv, dd.k)
+    xr = _gather_last(x, dd.bitrev, mesh_axes)
+    y = _ntt_core(xr, dd.tw_inv, dd.k, mesh_axes)
     n_inv = dd.n_inv.reshape((FR.L,) + (1,) * (x.ndim - 1))
     return FR.mont_mul(y, n_inv)
 
 
-def coset_ntt(x, dd: DeviceDomain):
+def coset_ntt(x, dd: DeviceDomain, mesh_axes=None):
     """Evaluate coefficients on the coset g*H."""
     scaled = FR.mont_mul(x, _bcast(dd.coset_pow, x))
-    return ntt(scaled, dd)
+    return ntt(scaled, dd, mesh_axes)
 
 
-def coset_intt(x, dd: DeviceDomain):
+def coset_intt(x, dd: DeviceDomain, mesh_axes=None):
     """Interpolate from evaluations on the coset g*H."""
-    c = intt(x, dd)
+    c = intt(x, dd, mesh_axes)
     return FR.mont_mul(c, _bcast(dd.coset_pow_inv, x))

@@ -100,9 +100,20 @@ def divide_by_linear(coeffs, z):
 # jitted stage cores (cached per size)
 # ---------------------------------------------------------------------------
 
+def _scan_ops(mesh_axes):
+    """(batch_inv, exclusive_prefix_mul) — local or distributed."""
+    if mesh_axes is None:
+        return FR.batch_inv_scan, shifted_prefix_product
+    from ..mesh import scans as dscans
+    mesh, ax = mesh_axes
+    return (dscans.make_batch_inv(mesh, ax),
+            dscans.make_exclusive_prefix_mul(mesh, ax))
+
+
 @functools.lru_cache(maxsize=None)
-def _z_poly_fn(n: int):
+def _z_poly_fn(n: int, mesh_axes=None):
     dd = ntt.get_device_domain(n)
+    batch_inv, excl_prefix = _scan_ops(mesh_axes)
     kvec = jnp.asarray(encode_ints(
         [k * FR.R_mod % R for k in (1, K1, K2, K3)], FR.L)).reshape(FR.L, 4, 1)
 
@@ -121,21 +132,25 @@ def _z_poly_fn(n: int):
 
         num = prod4(num_t)
         den = prod4(den_t)
-        ratios = FR.mont_mul(num, FR.batch_inv_scan(den))
-        z_evals = shifted_prefix_product(ratios)
-        return ntt.intt(z_evals, dd)
+        ratios = FR.mont_mul(num, batch_inv(den))
+        z_evals = excl_prefix(ratios)
+        return ntt.intt(z_evals, dd, mesh_axes)
 
     return f
 
 
 @functools.lru_cache(maxsize=None)
-def _z2_poly_fn(n: int):
+def _z2_poly_fn(n: int, mesh_axes=None):
     dd = ntt.get_device_domain(n)
+    batch_inv, excl_prefix = _scan_ops(mesh_axes)
 
     @jax.jit
     def f(fq, t, h1, h2, delta, epsilon):
-        t_next = jnp.roll(t, -1, axis=-1)
-        h1_next = jnp.roll(h1, -1, axis=-1)
+        n_ = t.shape[-1]
+        roll1 = (jax.lax.broadcasted_iota(jnp.int32, (n_, 1), 0)
+                 .squeeze(-1) + 1) % n_
+        t_next = ntt._gather_last(t, roll1, mesh_axes)
+        h1_next = ntt._gather_last(h1, roll1, mesh_axes)
         one = FR.ones((1,))
         opd = FR.add(delta, one)
         eps_opd = FR.mont_mul(epsilon, opd)
@@ -145,20 +160,20 @@ def _z2_poly_fn(n: int):
         den = FR.mont_mul(
             FR.add(FR.add(eps_opd, h1), FR.mont_mul(h2, delta)),
             FR.add(FR.add(eps_opd, h2), FR.mont_mul(h1_next, delta)))
-        ratios = FR.mont_mul(num, FR.batch_inv_scan(den))
-        z2_evals = shifted_prefix_product(ratios)
-        return ntt.intt(z2_evals, dd)
+        ratios = FR.mont_mul(num, batch_inv(den))
+        z2_evals = excl_prefix(ratios)
+        return ntt.intt(z2_evals, dd, mesh_axes)
 
     return f
 
 
 @functools.lru_cache(maxsize=None)
-def _wire_intt_fn(n: int):
+def _wire_intt_fn(n: int, mesh_axes=None):
     dd = ntt.get_device_domain(n)
 
     @jax.jit
     def f(wire_evals):  # (L, B, n)
-        return ntt.intt(wire_evals, dd)
+        return ntt.intt(wire_evals, dd, mesh_axes)
 
     return f
 
@@ -176,7 +191,7 @@ def _compress_fn(n: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _quotient_fn(n: int):
+def _quotient_fn(n: int, mesh_axes=None):
     dd = ntt.get_device_domain(n)
     dd4 = ntt.get_device_domain(4 * n)
     m = 4 * n
@@ -196,14 +211,19 @@ def _quotient_fn(n: int):
         padded = jnp.concatenate(
             [polys_n, jnp.zeros((FR.L, polys_n.shape[1], m - n), U32)],
             axis=-1)
-        evals = ntt.coset_ntt(padded, dd4)
+        evals = ntt.coset_ntt(padded, dd4, mesh_axes)
         (z4, wl4, wr4, wo4, w44, z24, f4, tb4, h14, h24, pi4, l14) = \
             [evals[:, i] for i in range(12)]
         (alpha, beta, gamma, delta, epsilon, zeta, range_ch, logic_ch,
          fixed_ch, var_ch, lookup_ch) = [Fv(challenges[:, i]) for i in range(11)]
 
+        roll4_idx = (jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+                     .squeeze(-1) + 4) % m
+
         def nxt(x):
-            return Fv(jnp.roll(x, -4, axis=-1))
+            # omega-shift: x[i+4] with wraparound (quotient_poly.rs:74-79);
+            # gather form so the sharded axis lowers to a halo exchange
+            return Fv(ntt._gather_last(x, roll4_idx, mesh_axes))
 
         sel = {name: Fv(sel4[:, i]) for i, name in enumerate(SELECTOR_NAMES)}
         s1, s2, s3, s4 = [Fv(sig4[:, i]) for i in range(4)]
@@ -244,7 +264,7 @@ def _quotient_fn(n: int):
         total = (gate + perm + lookup).a
         vh_tiled = jnp.tile(vh_inv_dev, (1, m // 4))
         q = FR.mont_mul(total, vh_tiled)
-        return ntt.coset_intt(q, dd4)
+        return ntt.coset_intt(q, dd4, mesh_axes)
 
     return f
 

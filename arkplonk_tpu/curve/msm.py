@@ -135,12 +135,52 @@ def _tree_sum(p):
     return (x, y, z)
 
 
+@functools.lru_cache(maxsize=None)
+def _digits_fn(window: int):
+    from ..fields.jaxfield import FR
+
+    @jax.jit
+    def f(coeffs_mont):
+        """(L, n) Montgomery Fr coeffs -> (num_windows, n) int32 digits,
+        fully on device (the 16-bit limbs ARE the windows)."""
+        raw = FR.from_mont(coeffs_mont)  # (16, n) 16-bit limbs
+        if window == 16:
+            return raw.astype(jnp.int32)
+        per = 16 // window
+        mask = (1 << window) - 1
+        parts = [((raw >> (window * k)) & mask) for k in range(per)]
+        stacked = jnp.stack(parts, axis=1)  # (16, per, n)
+        return stacked.reshape(16 * per, raw.shape[1]).astype(jnp.int32)
+
+    return f
+
+
 class DeviceMSM:
     """Fixed point set (e.g. the SRS G1 powers) resident on device."""
 
     def __init__(self, points):
         self.n = len(points)
         self.points = g1.encode_points(points)
+
+    def commit_mont(self, coeffs_mont) -> "tuple | None":
+        """MSM with scalars given as an on-device Montgomery Fr coefficient
+        array (L, n) — the device prover's commit hook: no host decode of
+        the polynomial, only the ~16-32 window sums come back."""
+        n = coeffs_mont.shape[-1]
+        assert n <= self.n, (n, self.n)
+        window = pick_window(n)
+        digits = _digits_fn(window)(coeffs_mont)
+        px, py, pz = (c[:, :n] for c in self.points)
+        fn = _all_windows_fn(n, window)
+        ws = fn(digits, px, py, pz)
+        pts = g1.decode_points(tuple(c.squeeze(-1).T for c in ws))
+        acc = (1, 1, 0)
+        for wsum in reversed(pts):
+            for _ in range(window):
+                acc = cv.jac_double(acc)
+            if wsum is not None:
+                acc = cv.jac_add(acc, cv.jac_from_affine(wsum))
+        return cv.jac_to_affine(acc)
 
     def mul(self, scalars) -> "tuple | None":
         """MSM over the first len(scalars) points; returns host affine."""

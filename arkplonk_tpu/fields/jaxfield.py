@@ -43,6 +43,7 @@ class JaxField:
         self.N_np = to_limbs(modulus, L)
         self.NPRIME_np = to_limbs(self.nprime, L)
         self.R2_np = to_limbs(self.R2_mod, L)
+        self._jit_cache = {}
         self.ONE_np = to_limbs(self.R_mod, L)  # 1 in Montgomery form
         self.ZERO_np = np.zeros((L,), dtype=np.uint32)
 
@@ -80,18 +81,24 @@ class JaxField:
         one = one.at[0].set(1)
         return self.mont_mul(a, one)
 
+    def _jitted(self, name):
+        fn = self._jit_cache.get(name)
+        if fn is None:
+            fn = jax.jit(getattr(self, name))
+            self._jit_cache[name] = fn
+        return fn
+
     def encode_fast(self, xs) -> jnp.ndarray:
         """ints -> Montgomery limb array via the bytes fast path + device
         to_mont. Returns (L, n) device array."""
         from .limb import encode_ints
         raw = jnp.asarray(encode_ints([x % self.modulus for x in xs], self.L))
-        return self.to_mont(raw)
+        return self._jitted("to_mont")(raw)
 
     def decode_fast(self, a) -> list:
         """Montgomery limb array -> ints via device from_mont + bytes."""
         from .limb import decode_ints
-        import jax
-        raw = jax.device_get(self.from_mont(a))
+        raw = jax.device_get(self._jitted("from_mont")(a))
         return decode_ints(raw)
 
     def zeros(self, shape=()) -> jnp.ndarray:

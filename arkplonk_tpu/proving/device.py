@@ -332,9 +332,12 @@ def _dec_stack(arr):
 
 
 class DeviceProverKey:
-    """Device-resident preprocessed circuit (the TPU ProverKey)."""
+    """Device-resident preprocessed circuit (the TPU ProverKey).
 
-    def __init__(self, host_pk):
+    Holds the SRS G1 powers on device (DeviceMSM) so commitments never
+    round-trip polynomial coefficients through the host."""
+
+    def __init__(self, host_pk, srs=None):
         from .keys import SIGMA_ORDER
         self.host_pk = host_pk
         n = host_pk.n
@@ -356,6 +359,10 @@ class DeviceProverKey:
         self.sigma_lagrange = _enc_stack(host_pk.sigma_lagranges)
         self.table_cols = _enc_stack(
             [col.elems for col in host_pk.table_columns])
+        self.msm = None
+        if srs is not None:
+            from ..curve.msm import DeviceMSM
+            self.msm = DeviceMSM(srs.g1[:n])
 
 
 class DeviceProver:
@@ -386,7 +393,7 @@ class DeviceProver:
 
     def preprocess(self, srs):
         pk = self._host.preprocess(srs)
-        self.device_pk = DeviceProverKey(pk)
+        self.device_pk = DeviceProverKey(pk, srs=srs)
         return pk
 
     def clear_witness(self):
@@ -422,6 +429,11 @@ class DeviceProver:
         def commit(coeff_ints):
             return kzg.commit(srs, coeff_ints, msm=self.msm)
 
+        def commit_dev(coeff_arr):
+            if dpk.msm is not None:
+                return dpk.msm.commit_mont(coeff_arr)
+            return commit(_dec_stack(coeff_arr))
+
         def enc_scalar(x):
             return jnp.asarray(FR.encode(x % R)).reshape(FR.L, 1)
 
@@ -434,8 +446,7 @@ class DeviceProver:
         wire_coeffs5 = _wire_intt_fn(n)(wire_evals)
         wire_coeffs = wire_coeffs5[:, :4]
         pi_poly_dev = wire_coeffs5[:, 4]
-        w_coeff_ints = _dec_stack(wire_coeffs)
-        w_comms = [commit(c) for c in w_coeff_ints]
+        w_comms = [commit_dev(wire_coeffs[:, i]) for i in range(4)]
         for lbl, cm in zip([b"w_l", b"w_r", b"w_o", b"w_4"], w_comms):
             transcript.append_g1(lbl, cm)
 
@@ -464,13 +475,10 @@ class DeviceProver:
         f_poly_dev = lookup_coeffs[:, 1]
         h1_poly_dev = lookup_coeffs[:, 2]
         h2_poly_dev = lookup_coeffs[:, 3]
-        f_ints = _dec_stack(f_poly_dev)
-        h1_ints = _dec_stack(h1_poly_dev)
-        h2_ints = _dec_stack(h2_poly_dev)
-        f_comm = commit(f_ints)
+        f_comm = commit_dev(f_poly_dev)
         transcript.append_g1(b"f", f_comm)
-        h_1_comm = commit(h1_ints)
-        h_2_comm = commit(h2_ints)
+        h_1_comm = commit_dev(h1_poly_dev)
+        h_2_comm = commit_dev(h2_poly_dev)
         transcript.append_g1(b"h1", h_1_comm)
         transcript.append_g1(b"h2", h_2_comm)
 
@@ -487,16 +495,14 @@ class DeviceProver:
 
         z_poly_dev = _z_poly_fn(n)(wire_evals[:, :4], dpk.sigma_lagrange,
                                    enc_scalar(beta), enc_scalar(gamma))
-        z_ints = _dec_stack(z_poly_dev)
-        z_comm = commit(z_ints)
+        z_comm = commit_dev(z_poly_dev)
         transcript.append_g1(b"z", z_comm)
 
         z2_poly_dev = _z2_poly_fn(n)(cf_dev, ct_dev,
                                      lookup_evals_dev[:, 2],
                                      lookup_evals_dev[:, 3],
                                      enc_scalar(delta), enc_scalar(epsilon))
-        z2_ints = _dec_stack(z2_poly_dev)
-        z_2_comm = commit(z2_ints)
+        z_2_comm = commit_dev(z2_poly_dev)
 
         # --- Round 4: quotient -------------------------------------------
         alpha = transcript.challenge_scalar(b"alpha")
@@ -527,9 +533,8 @@ class DeviceProver:
              (alpha, beta, gamma, delta, epsilon, zeta, range_ch, logic_ch,
               fixed_ch, var_ch, lookup_ch)], axis=1)
         t_coeffs = _quotient_fn(n)(dpk.sel4, dpk.sig4, polys_n, chal_stack)
-        t_ints = _dec_stack(t_coeffs)
-        t_splits = [t_ints[k * n:(k + 1) * n] for k in range(4)]
-        t_comms = [commit(t) for t in t_splits]
+        t_comms = [commit_dev(t_coeffs[:, k * n:(k + 1) * n])
+                   for k in range(4)]
         for lbl, cm in zip([b"t_1", b"t_2", b"t_3", b"t_4"], t_comms):
             transcript.append_g1(lbl, cm)
 
@@ -677,7 +682,7 @@ class DeviceProver:
             table_poly_dev[:, None], wire_coeffs], axis=1)
         aw_w = _open_fn(n)(aw_stack, enc_scalar(aw_challenge),
                            enc_scalar(z_challenge))
-        aw_opening = kzg.OpeningProof(commit(_dec_stack(aw_w)))
+        aw_opening = kzg.OpeningProof(commit_dev(aw_w))
 
         saw_challenge = transcript.challenge_scalar(b"aggregate_witness")
         saw_stack = jnp.stack(
@@ -686,7 +691,7 @@ class DeviceProver:
             axis=1)
         saw_w = _open_fn(n)(saw_stack, enc_scalar(saw_challenge),
                             enc_scalar(shifted_z))
-        saw_opening = kzg.OpeningProof(commit(_dec_stack(saw_w)))
+        saw_opening = kzg.OpeningProof(commit_dev(saw_w))
 
         return Proof(
             a_comm=w_comms[0], b_comm=w_comms[1], c_comm=w_comms[2],

@@ -409,6 +409,17 @@ class DeviceProver:
     # ------------------------------------------------------------------
 
     def prove_with_preprocessed(self, srs, dpk: DeviceProverKey):
+        import os as _os
+        import time as _time
+        _timing = _os.environ.get("ARKPLONK_TIMING")
+        _t0 = _time.time()
+
+        def _mark(label):
+            nonlocal _t0
+            if _timing:
+                now = _time.time()
+                print(f"[timing] {label}: {now - _t0:.3f}s", flush=True)
+                _t0 = now
         from ..pcs import kzg
         from ..circuit.lookup_table import MultiSet
         from . import pi as pi_mod
@@ -450,6 +461,7 @@ class DeviceProver:
         for lbl, cm in zip([b"w_l", b"w_r", b"w_o", b"w_4"], w_comms):
             transcript.append_g1(lbl, cm)
 
+        _mark("round1 wires+commits")
         # --- Round 2: plookup --------------------------------------------
         zeta = transcript.challenge_scalar(b"zeta")
         transcript.append_fr(b"zeta", zeta)
@@ -482,6 +494,7 @@ class DeviceProver:
         transcript.append_g1(b"h1", h_1_comm)
         transcript.append_g1(b"h2", h_2_comm)
 
+        _mark("round2 lookup+commits")
         # --- Round 3: grand products -------------------------------------
         beta = transcript.challenge_scalar(b"beta")
         transcript.append_fr(b"beta", beta)
@@ -504,6 +517,7 @@ class DeviceProver:
                                      enc_scalar(delta), enc_scalar(epsilon))
         z_2_comm = commit_dev(z2_poly_dev)
 
+        _mark("round3 z/z2+commits")
         # --- Round 4: quotient -------------------------------------------
         alpha = transcript.challenge_scalar(b"alpha")
         transcript.append_fr(b"alpha", alpha)
@@ -538,6 +552,7 @@ class DeviceProver:
         for lbl, cm in zip([b"t_1", b"t_2", b"t_3", b"t_4"], t_comms):
             transcript.append_g1(lbl, cm)
 
+        _mark("round4 quotient+commits")
         # --- Round 5: evaluations + linearisation + openings -------------
         z_challenge = transcript.challenge_scalar(b"z")
         transcript.append_fr(b"z", z_challenge)
@@ -693,6 +708,7 @@ class DeviceProver:
                             enc_scalar(shifted_z))
         saw_opening = kzg.OpeningProof(commit_dev(saw_w))
 
+        _mark("round5 evals+openings")
         return Proof(
             a_comm=w_comms[0], b_comm=w_comms[1], c_comm=w_comms[2],
             d_comm=w_comms[3], z_comm=z_comm, f_comm=f_comm,

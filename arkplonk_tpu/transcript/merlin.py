@@ -92,21 +92,33 @@ class Strobe128:
         self._begin_op(FLAG_I | FLAG_A | FLAG_C, more)
         return self._squeeze(n)
 
+    def clone(self) -> "Strobe128":
+        c = object.__new__(Strobe128)
+        c.state = bytearray(self.state)
+        c.pos = self.pos
+        c.pos_begin = self.pos_begin
+        c.cur_flags = self.cur_flags
+        return c
+
+
+def _make_strobe(protocol_label: bytes):
+    """Prefer the native C STROBE core (native/transcript.c) when built."""
+    from . import native
+    if native.available():
+        return native.CStrobe128(protocol_label)
+    return Strobe128(protocol_label)
+
 
 class Transcript:
     """Merlin v1.0 transcript."""
 
     def __init__(self, label: bytes):
-        self.strobe = Strobe128(MERLIN_PROTOCOL_LABEL)
+        self.strobe = _make_strobe(MERLIN_PROTOCOL_LABEL)
         self.append_message(b"dom-sep", label)
 
     def clone(self) -> "Transcript":
         t = object.__new__(Transcript)
-        t.strobe = object.__new__(Strobe128)
-        t.strobe.state = bytearray(self.strobe.state)
-        t.strobe.pos = self.strobe.pos
-        t.strobe.pos_begin = self.strobe.pos_begin
-        t.strobe.cur_flags = self.strobe.cur_flags
+        t.strobe = self.strobe.clone()
         return t
 
     def append_message(self, label: bytes, message: bytes):

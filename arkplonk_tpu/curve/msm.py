@@ -68,7 +68,57 @@ def _all_windows_fn(n: int, window: int):
     return jax.jit(jax.vmap(f, in_axes=(0, None, None, None)))
 
 
+def _hs_scan_points(pt, seg, steps: int):
+    """Hillis-Steele segmented inclusive scan of points (combine=jac_add,
+    reset across `seg` boundaries).
+
+    FIXED (L, n) shapes at every step -> ONE jac_add instance in the XLA
+    graph regardless of n.  (An associative_scan here generates ~2 log n
+    distinct-shaped point-add kernels; measured 526s XLA-TPU compile vs
+    seconds for this form.)  Work is n log n point-adds instead of 2n —
+    the compile-time/runtime trade round 1 takes; a Pallas kernel replaces
+    this in the scaling pass."""
+    n = pt[0].shape[-1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+
+    def body(i, carry):
+        x, y, z = carry
+        off = jnp.int32(1) << i
+        src = jnp.maximum(iota - off, 0)
+        sx, sy, sz = x[:, src], y[:, src], z[:, src]
+        valid = (iota >= off) & (seg[src] == seg)
+        ax, ay, az = g1.jac_add((x, y, z), (sx, sy, sz))
+        return (FQ.select(valid, ax, x), FQ.select(valid, ay, y),
+                FQ.select(valid, az, z))
+
+    return jax.lax.fori_loop(0, steps, body, pt)
+
+
+def _hs_total_sum(pt, steps: int):
+    """Total sum of a point batch via Hillis-Steele shifts; result in
+    column 0. Fixed shapes -> one jac_add instance."""
+    n = pt[0].shape[-1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+
+    def body(i, carry):
+        x, y, z = carry
+        off = jnp.int32(1) << i
+        src = jnp.minimum(iota + off, n - 1)
+        valid = iota + off <= n - 1
+        ax, ay, az = g1.jac_add((x, y, z), (x[:, src], y[:, src],
+                                            z[:, src]))
+        return (FQ.select(valid, ax, x), FQ.select(valid, ay, y),
+                FQ.select(valid, az, z))
+
+    x, y, z = jax.lax.fori_loop(0, steps, body, pt)
+    return (x[:, :1], y[:, :1], z[:, :1])
+
+
 def _window_body(n: int, window: int):
+    steps_n = max((n - 1).bit_length(), 1)
+    nb = 1 << window
+    steps_b = max((nb - 2).bit_length(), 1)
+
     def f(digits, px, py, pz):
         """One window: digits (n,) int32, points (L, n) each.
         Returns the window sum as a single Jacobian point (L, 1) each."""
@@ -76,23 +126,10 @@ def _window_body(n: int, window: int):
         d_s = digits[order]
         pt = (px[:, order], py[:, order], pz[:, order])
 
-        def combine(a, b):
-            (ax, ay, az, aseg) = a
-            (bx, by, bz, bseg) = b
-            same = aseg[0] == bseg[0]  # (k,) segment-equality mask
-            sx, sy, sz = g1.jac_add((ax, ay, az), (bx, by, bz))
-            ox = FQ.select(same, sx, bx)
-            oy = FQ.select(same, sy, by)
-            oz = FQ.select(same, sz, bz)
-            return (ox, oy, oz, bseg)
-
-        scanned = jax.lax.associative_scan(
-            combine, (pt[0], pt[1], pt[2], d_s[None, :]), axis=1)
-        sums = (scanned[0], scanned[1], scanned[2])
+        sums = _hs_scan_points(pt, d_s, steps_n)
 
         # bucket totals at segment ends: for bucket b, last index with
         # d_s == b is searchsorted(d_s, b, 'right') - 1
-        nb = 1 << window
         buckets = jnp.arange(1, nb, dtype=jnp.int32)
         idx = jnp.searchsorted(d_s, buckets, side="right") - 1
         valid = (idx >= 0) & (d_s[jnp.clip(idx, 0, n - 1)] == buckets)
@@ -101,38 +138,15 @@ def _window_body(n: int, window: int):
         by = sums[1][:, idx]
         bz = FQ.select(valid, sums[2][:, idx], FQ.zeros((nb - 1,)))
 
-        # weighted reduction: sum_b b * S_b = sum of suffix sums
-        rx = jnp.flip(bx, axis=1)
-        ry = jnp.flip(by, axis=1)
-        rz = jnp.flip(bz, axis=1)
-
-        def comb2(a, b):
-            return g1.jac_add(a, b)
-
-        suff = jax.lax.associative_scan(comb2, (rx, ry, rz), axis=1)
-        # total = sum over all suffix sums
-        total = _tree_sum(suff)
-        return total
+        # weighted reduction: sum_b b * S_b = sum of suffix sums.
+        # suffix sums = segmented scan over the flipped buckets (one seg)
+        rseg = jnp.zeros((nb - 1,), dtype=jnp.int32)
+        suff = _hs_scan_points(
+            (jnp.flip(bx, axis=1), jnp.flip(by, axis=1),
+             jnp.flip(bz, axis=1)), rseg, steps_b)
+        return _hs_total_sum(suff, steps_b)
 
     return f
-
-
-def _tree_sum(p):
-    x, y, z = p
-    n = x.shape[1]
-    while n > 1:
-        half = n // 2
-        a = (x[:, :half], y[:, :half], z[:, :half])
-        b = (x[:, half:2 * half], y[:, half:2 * half], z[:, half:2 * half])
-        s = g1.jac_add(a, b)
-        if n % 2:
-            x = jnp.concatenate([s[0], x[:, -1:]], axis=1)
-            y = jnp.concatenate([s[1], y[:, -1:]], axis=1)
-            z = jnp.concatenate([s[2], z[:, -1:]], axis=1)
-        else:
-            x, y, z = s
-        n = x.shape[1]
-    return (x, y, z)
 
 
 @functools.lru_cache(maxsize=None)

@@ -58,7 +58,9 @@ class MultiSet:
             counters[e] = counters.get(e, 0) + 1
         for e in f.elems:
             if e not in counters:
-                raise ValueError("ElementNotIndexed: lookup query not in table")
+                from ..errors import ElementNotIndexed
+                raise ElementNotIndexed(
+                    "lookup query element not in table")
             counters[e] += 1
         evens: list[int] = []
         odds: list[int] = []
@@ -136,7 +138,8 @@ class LookupTable:
         for row in self.rows:
             if row[0] == a % R and row[1] == b % R and row[3] == d % R:
                 return row[2]
-        raise ValueError("ElementNotIndexed")
+        from ..errors import ElementNotIndexed
+        raise ElementNotIndexed((a, b, d))
 
     def vec_to_multiset(self):
         cols = [MultiSet() for _ in range(4)]

@@ -112,7 +112,8 @@ class Domain:
         assert n & (n - 1) == 0 and n > 0, "domain size must be a power of two"
         k = n.bit_length() - 1
         if k > C.FR_TWO_ADICITY:
-            raise ValueError(f"InvalidEvalDomainSize: 2^{k} exceeds two-adicity")
+            from ..errors import InvalidEvalDomainSize
+            raise InvalidEvalDomainSize(k, C.FR_TWO_ADICITY)
         self.size = n
         self.log_size = k
         self.group_gen = pow(C.FR_TWO_ADIC_ROOT, 1 << (C.FR_TWO_ADICITY - k), R)

@@ -124,7 +124,8 @@ def test_lookup_gate_not_in_table_fails():
         c = cs.add_input(6)  # wrong output
         d = cs.add_input((R - 1) % R)
         cs.lookup_gate(a, b, c, d)
-    with pytest.raises((AssertionError, ValueError)):
+    from arkplonk_tpu.errors import ElementNotIndexed
+    with pytest.raises((AssertionError, ElementNotIndexed)):
         gadget_tester(gadget, 128, srs=SRS, rng=det_rng)
 
 

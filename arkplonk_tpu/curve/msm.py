@@ -180,21 +180,31 @@ class DeviceMSM:
         """MSM with scalars given as an on-device Montgomery Fr coefficient
         array (L, n) — the device prover's commit hook: no host decode of
         the polynomial, only the ~16-32 window sums come back."""
-        n = coeffs_mont.shape[-1]
+        return self.commit_mont_batch(coeffs_mont[:, None, :])[0]
+
+    def commit_mont_batch(self, coeffs_mont) -> list:
+        """Batched MSMs: (L, P, n) Montgomery coeff stack -> P affine
+        points, in ONE device call (windows x polys ride the same vmap)."""
+        L, P, n = coeffs_mont.shape
         assert n <= self.n, (n, self.n)
         window = pick_window(n)
-        digits = _digits_fn(window)(coeffs_mont)
+        digits = jax.vmap(_digits_fn(window), in_axes=1)(coeffs_mont)
+        num_w = digits.shape[1]
+        digits = digits.reshape(P * num_w, n)
         px, py, pz = (c[:, :n] for c in self.points)
         fn = _all_windows_fn(n, window)
         ws = fn(digits, px, py, pz)
         pts = g1.decode_points(tuple(c.squeeze(-1).T for c in ws))
-        acc = (1, 1, 0)
-        for wsum in reversed(pts):
-            for _ in range(window):
-                acc = cv.jac_double(acc)
-            if wsum is not None:
-                acc = cv.jac_add(acc, cv.jac_from_affine(wsum))
-        return cv.jac_to_affine(acc)
+        out = []
+        for p_i in range(P):
+            acc = (1, 1, 0)
+            for wsum in reversed(pts[p_i * num_w:(p_i + 1) * num_w]):
+                for _ in range(window):
+                    acc = cv.jac_double(acc)
+                if wsum is not None:
+                    acc = cv.jac_add(acc, cv.jac_from_affine(wsum))
+            out.append(cv.jac_to_affine(acc))
+        return out
 
     def mul(self, scalars) -> "tuple | None":
         """MSM over the first len(scalars) points; returns host affine."""

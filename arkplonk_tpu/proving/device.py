@@ -441,9 +441,21 @@ class DeviceProver:
             return kzg.commit(srs, coeff_ints, msm=self.msm)
 
         def commit_dev(coeff_arr):
-            if dpk.msm is not None:
-                return dpk.msm.commit_mont(coeff_arr)
-            return commit(_dec_stack(coeff_arr))
+            return commit_batch([coeff_arr])[0]
+
+        def commit_batch(coeff_arrs):
+            """Commit several (L, n) coeff arrays in ONE batched MSM call.
+            Always padded to P=4 so a single compiled executable serves
+            every commitment in the prove (zero poly -> identity -> None,
+            matching kzg.commit's None convention)."""
+            if dpk.msm is None:
+                return [commit(_dec_stack(a)) for a in coeff_arrs]
+            P = len(coeff_arrs)
+            stack = jnp.stack(coeff_arrs, axis=1)
+            if P < 4:
+                stack = jnp.concatenate(
+                    [stack, jnp.zeros((FR.L, 4 - P, n), U32)], axis=1)
+            return dpk.msm.commit_mont_batch(stack)[:P]
 
         def enc_scalar(x):
             return jnp.asarray(FR.encode(x % R)).reshape(FR.L, 1)
@@ -457,7 +469,7 @@ class DeviceProver:
         wire_coeffs5 = _wire_intt_fn(n)(wire_evals)
         wire_coeffs = wire_coeffs5[:, :4]
         pi_poly_dev = wire_coeffs5[:, 4]
-        w_comms = [commit_dev(wire_coeffs[:, i]) for i in range(4)]
+        w_comms = commit_batch([wire_coeffs[:, i] for i in range(4)])
         for lbl, cm in zip([b"w_l", b"w_r", b"w_o", b"w_4"], w_comms):
             transcript.append_g1(lbl, cm)
 
@@ -487,10 +499,9 @@ class DeviceProver:
         f_poly_dev = lookup_coeffs[:, 1]
         h1_poly_dev = lookup_coeffs[:, 2]
         h2_poly_dev = lookup_coeffs[:, 3]
-        f_comm = commit_dev(f_poly_dev)
+        f_comm, h_1_comm, h_2_comm = commit_batch(
+            [f_poly_dev, h1_poly_dev, h2_poly_dev])
         transcript.append_g1(b"f", f_comm)
-        h_1_comm = commit_dev(h1_poly_dev)
-        h_2_comm = commit_dev(h2_poly_dev)
         transcript.append_g1(b"h1", h_1_comm)
         transcript.append_g1(b"h2", h_2_comm)
 
@@ -508,14 +519,12 @@ class DeviceProver:
 
         z_poly_dev = _z_poly_fn(n)(wire_evals[:, :4], dpk.sigma_lagrange,
                                    enc_scalar(beta), enc_scalar(gamma))
-        z_comm = commit_dev(z_poly_dev)
-        transcript.append_g1(b"z", z_comm)
-
         z2_poly_dev = _z2_poly_fn(n)(cf_dev, ct_dev,
                                      lookup_evals_dev[:, 2],
                                      lookup_evals_dev[:, 3],
                                      enc_scalar(delta), enc_scalar(epsilon))
-        z_2_comm = commit_dev(z2_poly_dev)
+        z_comm, z_2_comm = commit_batch([z_poly_dev, z2_poly_dev])
+        transcript.append_g1(b"z", z_comm)
 
         _mark("round3 z/z2+commits")
         # --- Round 4: quotient -------------------------------------------
@@ -547,8 +556,8 @@ class DeviceProver:
              (alpha, beta, gamma, delta, epsilon, zeta, range_ch, logic_ch,
               fixed_ch, var_ch, lookup_ch)], axis=1)
         t_coeffs = _quotient_fn(n)(dpk.sel4, dpk.sig4, polys_n, chal_stack)
-        t_comms = [commit_dev(t_coeffs[:, k * n:(k + 1) * n])
-                   for k in range(4)]
+        t_comms = commit_batch([t_coeffs[:, k * n:(k + 1) * n]
+                                for k in range(4)])
         for lbl, cm in zip([b"t_1", b"t_2", b"t_3", b"t_4"], t_comms):
             transcript.append_g1(lbl, cm)
 
@@ -570,8 +579,10 @@ class DeviceProver:
             dpk.sel_coeffs[:, sel_idx["q_r"]][:, None],
             f_poly_dev[:, None], h1_poly_dev[:, None], h2_poly_dev[:, None],
             table_poly_dev[:, None]], axis=1)
+        _mark("r5: build z_stack")
         evz = FR.decode_fast(_eval_stack_fn(n)(z_stack,
                                                enc_scalar(z_challenge)))
+        _mark("r5: eval@z + decode")
         (a_eval, b_eval, c_eval, d_eval, sig1_eval, sig2_eval, sig3_eval,
          q_arith_eval, q_lookup_eval, q_c_eval, q_l_eval, q_r_eval,
          f_eval, h1_eval, h2_eval, table_eval) = evz
@@ -582,6 +593,7 @@ class DeviceProver:
             axis=1)
         evzw = FR.decode_fast(_eval_stack_fn(n)(zw_stack,
                                                 enc_scalar(shifted_z)))
+        _mark("r5: eval@zw + decode")
         (perm_eval, a_next_eval, b_next_eval, d_next_eval, h1_next_eval,
          z2_next_eval, table_next_eval) = evzw
 
@@ -671,6 +683,7 @@ class DeviceProver:
                         t1_s, t2_s, t3_s, t4_s]
         lin_scalar_dev = _enc_stack([[s] for s in lin_scalars])
         lin_poly_dev = _lincomb_fn(n)(lin_stack, lin_scalar_dev)
+        _mark("r5: linearisation")
 
         # transcript: evaluations
         transcript.append_fr(b"a_eval", a_eval)
@@ -690,23 +703,27 @@ class DeviceProver:
         for label, val in ev.custom_evals:
             transcript.append_fr(label.encode(), val)
 
+        # NOTE: nothing is appended between the two aggregate challenges
+        # (the openings are not transcript inputs, prover.rs:563-618), so
+        # both can be drawn up front and the openings batched.
         aw_challenge = transcript.challenge_scalar(b"aggregate_witness")
+        saw_challenge = transcript.challenge_scalar(b"aggregate_witness")
         aw_stack = jnp.concatenate([
             lin_poly_dev[:, None], dpk.sig_coeffs[:, 0:3],
             f_poly_dev[:, None], h2_poly_dev[:, None],
             table_poly_dev[:, None], wire_coeffs], axis=1)
         aw_w = _open_fn(n)(aw_stack, enc_scalar(aw_challenge),
                            enc_scalar(z_challenge))
-        aw_opening = kzg.OpeningProof(commit_dev(aw_w))
-
-        saw_challenge = transcript.challenge_scalar(b"aggregate_witness")
         saw_stack = jnp.stack(
             [z_poly_dev, wire_coeffs[:, 0], wire_coeffs[:, 1],
              wire_coeffs[:, 3], h1_poly_dev, z2_poly_dev, table_poly_dev],
             axis=1)
         saw_w = _open_fn(n)(saw_stack, enc_scalar(saw_challenge),
                             enc_scalar(shifted_z))
-        saw_opening = kzg.OpeningProof(commit_dev(saw_w))
+        aw_c, saw_c = commit_batch([aw_w, saw_w])
+        aw_opening = kzg.OpeningProof(aw_c)
+        saw_opening = kzg.OpeningProof(saw_c)
+        _mark("r5: opens+commits")
 
         _mark("round5 evals+openings")
         return Proof(

@@ -14,11 +14,12 @@ from ..proving import pi as pi_mod
 
 
 class Verifier:
-    def __init__(self, label: bytes, rng=None, msm=None):
+    def __init__(self, label: bytes, rng=None, msm=None, pcs=None):
         self.cs = StandardComposer(rng=rng)
         self.verifier_key = None
         self.preprocessed_transcript = PlonkTranscript(label)
         self.msm = msm
+        self.pcs = pcs
 
     def key_transcript(self, label: bytes, message: bytes):
         self.preprocessed_transcript.t.append_message(label, message)
@@ -28,13 +29,14 @@ class Verifier:
 
     def preprocess(self, srs):
         self.verifier_key = prep.preprocess_verifier(
-            self.cs, srs, self.preprocessed_transcript, msm=self.msm)
+            self.cs, srs, self.preprocessed_transcript, msm=self.msm,
+            pcs=self.pcs)
         return self.verifier_key
 
     def verify(self, proof, srs, public_inputs: dict) -> bool:
         return proof.verify(self.verifier_key,
                             self.preprocessed_transcript.clone(), srs,
-                            public_inputs)
+                            public_inputs, pcs=self.pcs)
 
 
 class Circuit:
@@ -78,20 +80,20 @@ def verify_proof(srs, plonk_verifier_key, proof, public_inputs: dict,
     return proof.verify(plonk_verifier_key, transcript, srs, public_inputs)
 
 
-def gadget_tester(gadget, n: int, srs=None, rng=None, msm=None):
+def gadget_tester(gadget, n: int, srs=None, rng=None, msm=None, pcs=None):
     """End-to-end fixture mirroring constraint_system/helper.rs:38-99."""
     from ..pcs import kzg
     if srs is None:
         srs = kzg.SRS.setup(2 * max(n, 32))
 
-    prover = Prover(b"demo", rng=rng, msm=msm)
+    prover = Prover(b"demo", rng=rng, msm=msm, pcs=pcs)
     prover.key_transcript(b"key", b"additional seed information")
     gadget(prover.cs)
     prover.preprocess(srs)
     public_inputs = dict(prover.cs.public_inputs)
     proof = prover.prove(srs)
 
-    verifier = Verifier(b"demo", rng=rng, msm=msm)
+    verifier = Verifier(b"demo", rng=rng, msm=msm, pcs=pcs)
     verifier.key_transcript(b"key", b"additional seed information")
     gadget(verifier.cs)
     verifier.preprocess(srs)

@@ -1,0 +1,184 @@
+"""Inner-product-argument polynomial commitment (secondary PCS backend).
+
+Mirrors the role of `ark_poly_commit::ipa_pc::InnerProductArgPC` in the
+reference (commitment.rs:52-91): a discrete-log-based scheme with no
+trusted setup, transparent generators, O(log n) proofs and O(n) verify.
+Self-consistent Bulletproofs-style construction (not wire-compatible with
+arkworks' — the reference's own IPA is only used through the generic PCS
+interface, which this module implements: setup/commit/open_polys/check).
+
+The PCS interface matches pcs/kzg.py so the prover/verifier can swap
+backends (the reference's `HomomorphicCommitment` genericity).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from ..fields.host import R, Q, fr_inv, sqrt_mod
+from ..curve import host as cv
+from ..transcript.merlin import Transcript
+from ..transcript import serialize as ser
+from .kzg import poly_add, poly_scale, poly_eval
+
+G1_COFACTOR = 0x396C8C005555E1568C00AAAB0000AAAB
+
+
+def _hash_to_g1(seed: bytes):
+    """Deterministic generator derivation: try-and-increment on x, then
+    clear the cofactor."""
+    counter = 0
+    while True:
+        h = hashlib.sha256(seed + counter.to_bytes(4, "little")).digest()
+        x = int.from_bytes(h + hashlib.sha256(h).digest(), "little") % Q
+        rhs = (x * x % Q * x + 4) % Q
+        y = sqrt_mod(rhs, Q)
+        if y is not None:
+            p = cv.jac_to_affine(cv.jac_mul((x, y, 1), G1_COFACTOR))
+            if p is not None:
+                return p
+        counter += 1
+
+
+class IPASetup:
+    """Transparent commitment key: n+1 generators + the IP binding point U."""
+
+    def __init__(self, generators, u):
+        self.g = generators
+        self.u = u
+
+    @property
+    def max_degree(self):
+        return len(self.g) - 1
+
+    @staticmethod
+    def setup(max_degree: int, seed: bytes = b"arkplonk-tpu-ipa") -> "IPASetup":
+        # pad the basis to a power of two (the folding needs it)
+        size = max(2, 1 << (max_degree).bit_length())
+        gens = [_hash_to_g1(seed + b"/g" + i.to_bytes(4, "little"))
+                for i in range(size)]
+        u = _hash_to_g1(seed + b"/u")
+        return IPASetup(gens, u)
+
+    def trim(self, supported_degree: int) -> "IPASetup":
+        return self
+
+
+class IPAOpeningProof:
+    """log n rounds of (L, R) points + the folded scalar a0."""
+
+    def __init__(self, rounds, a0):
+        self.rounds = rounds  # list of (L_point, R_point)
+        self.a0 = a0
+
+    def __eq__(self, other):
+        return (isinstance(other, IPAOpeningProof)
+                and self.rounds == other.rounds and self.a0 == other.a0)
+
+
+def commit(setup: IPASetup, coeffs, msm=None):
+    idx = [i for i, c in enumerate(coeffs) if c % R != 0]
+    if not idx:
+        return None
+    points = [setup.g[i] for i in idx]
+    scalars = [coeffs[i] % R for i in idx]
+    if msm is None:
+        return cv.msm_host(points, scalars)
+    return msm(points, scalars)
+
+
+def _fold_challenge(transcript, l_pt, r_pt) -> int:
+    transcript.append_message(b"ipa_l", ser.g1_to_bytes(l_pt))
+    transcript.append_message(b"ipa_r", ser.g1_to_bytes(r_pt))
+    u = int.from_bytes(transcript.challenge_bytes(b"ipa_u", 31), "little")
+    return u if u % R else 1
+
+
+def open_polys(setup: IPASetup, polys, z: int, chi: int, msm=None
+               ) -> IPAOpeningProof:
+    """Aggregate with powers of chi, then IPA-fold <a, powers-of-z>."""
+    agg = []
+    power = 1
+    for p in polys:
+        agg = poly_add(agg, poly_scale(p, power))
+        power = power * chi % R
+    n = max(2, 1 << (len(agg) - 1).bit_length()) if len(agg) > 1 else 2
+    a = [c % R for c in agg] + [0] * (n - len(agg))
+    b = [pow(z, i, R) for i in range(n)]
+    g = [cv.jac_from_affine(p) for p in setup.g[:n]]
+    u_point = cv.jac_from_affine(setup.u)
+
+    transcript = Transcript(b"arkplonk-ipa")
+    transcript.append_message(b"v", ser.fr_to_bytes(poly_eval(agg, z)))
+
+    rounds = []
+    while n > 1:
+        half = n // 2
+        a_lo, a_hi = a[:half], a[half:]
+        b_lo, b_hi = b[:half], b[half:]
+        g_lo, g_hi = g[:half], g[half:]
+        ip_l = sum(x * y for x, y in zip(a_hi, b_lo)) % R
+        ip_r = sum(x * y for x, y in zip(a_lo, b_hi)) % R
+        l_pt = _msm_jac(g_lo + [u_point], a_hi + [ip_l])
+        r_pt = _msm_jac(g_hi + [u_point], a_lo + [ip_r])
+        l_aff = cv.jac_to_affine(l_pt)
+        r_aff = cv.jac_to_affine(r_pt)
+        u = _fold_challenge(transcript, l_aff, r_aff)
+        u_inv = fr_inv(u)
+        a = [(lo + u * hi) % R for lo, hi in zip(a_lo, a_hi)]
+        b = [(lo + u_inv * hi) % R for lo, hi in zip(b_lo, b_hi)]
+        g = [cv.jac_add(glo, cv.jac_mul(ghi, u_inv))
+             for glo, ghi in zip(g_lo, g_hi)]
+        rounds.append((l_aff, r_aff))
+        n = half
+    return IPAOpeningProof(rounds, a[0])
+
+
+def _msm_jac(jac_points, scalars):
+    acc = (1, 1, 0)
+    for p, s in zip(jac_points, scalars):
+        if s % R:
+            acc = cv.jac_add(acc, cv.jac_mul(p, s % R))
+    return acc
+
+
+def check(setup: IPASetup, commitments, z: int, values, proof, chi: int
+          ) -> bool:
+    assert len(commitments) == len(values)
+    acc = (1, 1, 0)
+    v = 0
+    power = 1
+    for c, val in zip(commitments, values):
+        if c is not None:
+            acc = cv.jac_add(acc, cv.jac_mul(cv.jac_from_affine(c), power))
+        v = (v + val * power) % R
+        power = power * chi % R
+
+    n = 1 << len(proof.rounds)
+    b = [pow(z, i, R) for i in range(n)]
+    g = [cv.jac_from_affine(p) for p in setup.g[:n]]
+    u_point = cv.jac_from_affine(setup.u)
+
+    transcript = Transcript(b"arkplonk-ipa")
+    transcript.append_message(b"v", ser.fr_to_bytes(v))
+
+    # C' = C + v*U, folded with the challenges
+    cprime = cv.jac_add(acc, cv.jac_mul(u_point, v))
+    for (l_aff, r_aff) in proof.rounds:
+        u = _fold_challenge(transcript, l_aff, r_aff)
+        u_inv = fr_inv(u)
+        half = n // 2
+        cprime = cv.jac_add(
+            cprime,
+            cv.jac_add(cv.jac_mul(cv.jac_from_affine(l_aff), u)
+                       if l_aff else (1, 1, 0),
+                       cv.jac_mul(cv.jac_from_affine(r_aff), u_inv)
+                       if r_aff else (1, 1, 0)))
+        b = [(lo + u_inv * hi) % R for lo, hi in zip(b[:half], b[half:])]
+        g = [cv.jac_add(glo, cv.jac_mul(ghi, u_inv))
+             for glo, ghi in zip(g[:half], g[half:])]
+        n = half
+    # expect C' == a0*G0 + a0*b0*U
+    expect = cv.jac_add(cv.jac_mul(g[0], proof.a0),
+                        cv.jac_mul(u_point, proof.a0 * b[0] % R))
+    return cv.jac_to_affine(cprime) == cv.jac_to_affine(expect)

@@ -18,8 +18,9 @@ from . import permutation as perm_mod
 from .keys import ProverKey, VerifierKey, SELECTOR_ORDER, SIGMA_ORDER
 
 
-def preprocess_lookup_table(table, srs, n: int, msm=None):
+def preprocess_lookup_table(table, srs, n: int, msm=None, pcs=None):
     """lookup/preprocess.rs:42-69: pad each column to n, iFFT, commit."""
+    pcs = pcs if pcs is not None else kzg
     columns = table.vec_to_multiset()
     out_cols = []
     out_polys = []
@@ -29,7 +30,7 @@ def preprocess_lookup_table(table, srs, n: int, msm=None):
         poly = ntt.intt_host(col.elems, host.Domain(n))
         out_cols.append(col)
         out_polys.append(poly)
-        out_comms.append(kzg.commit(srs, poly, msm=msm))
+        out_comms.append(pcs.commit(srs, poly, msm=msm))
     return out_cols, out_polys, out_comms
 
 
@@ -46,12 +47,13 @@ def compute_vanishing_poly_over_coset(domain_4n: host.Domain, n: int):
     return out
 
 
-def preprocess_shared(cs, srs, transcript, msm=None):
+def preprocess_shared(cs, srs, transcript, msm=None, pcs=None):
+    pcs = pcs if pcs is not None else kzg
     n_padded = cs.circuit_bound()
     domain = host.Domain(n_padded)
 
     table_cols, table_polys, table_comms = preprocess_lookup_table(
-        cs.lookup_table, srs, n_padded, msm=msm)
+        cs.lookup_table, srs, n_padded, msm=msm, pcs=pcs)
 
     cs.pad(domain.size - cs.n)
 
@@ -69,9 +71,9 @@ def preprocess_shared(cs, srs, transcript, msm=None):
                     "q_variable_group_add"]
     commitments = {}
     for name in commit_order:
-        commitments[name] = kzg.commit(srs, selectors[name], msm=msm)
+        commitments[name] = pcs.commit(srs, selectors[name], msm=msm)
     for name in SIGMA_ORDER:
-        commitments[name] = kzg.commit(srs, sigmas[name], msm=msm)
+        commitments[name] = pcs.commit(srs, sigmas[name], msm=msm)
     for i, c in enumerate(table_comms):
         commitments[f"table_{i+1}"] = c
 
@@ -81,9 +83,9 @@ def preprocess_shared(cs, srs, transcript, msm=None):
         (table_cols, table_polys)
 
 
-def preprocess_prover(cs, srs, transcript, msm=None) -> ProverKey:
+def preprocess_prover(cs, srs, transcript, msm=None, pcs=None) -> ProverKey:
     vk, selectors, sigmas, sigma_lagranges, domain, table = \
-        preprocess_shared(cs, srs, transcript, msm=msm)
+        preprocess_shared(cs, srs, transcript, msm=msm, pcs=pcs)
     table_cols, _table_polys = table
     n = domain.size
     domain_4n = host.Domain(4 * n)
@@ -110,6 +112,7 @@ def preprocess_prover(cs, srs, transcript, msm=None) -> ProverKey:
     ), vk
 
 
-def preprocess_verifier(cs, srs, transcript, msm=None) -> VerifierKey:
-    vk, *_ = preprocess_shared(cs, srs, transcript, msm=msm)
+def preprocess_verifier(cs, srs, transcript, msm=None, pcs=None
+                        ) -> VerifierKey:
+    vk, *_ = preprocess_shared(cs, srs, transcript, msm=msm, pcs=pcs)
     return vk

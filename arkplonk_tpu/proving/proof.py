@@ -42,7 +42,9 @@ class Proof:
 
     # ------------------------------------------------------------------
 
-    def verify(self, plonk_vk, transcript, srs, public_inputs: dict) -> bool:
+    def verify(self, plonk_vk, transcript, srs, public_inputs: dict,
+               pcs=None) -> bool:
+        pcs = pcs if pcs is not None else kzg
         domain = host.Domain(plonk_vk.padded_circuit_size())
         n = domain.size
         ev = self.evaluations
@@ -144,11 +146,11 @@ class Proof:
                      ev.custom("b_next_eval"), ev.custom("d_next_eval"),
                      ev.h1_next_eval, ev.z2_next_eval, ev.table_next_eval]
 
-        ok1 = kzg.check(srs, aw_commits, z_challenge, aw_evals,
+        ok1 = pcs.check(srs, aw_commits, z_challenge, aw_evals,
                         self.aw_opening, aw_challenge)
         if not ok1:
             return False
-        return kzg.check(srs, saw_commits,
+        return pcs.check(srs, saw_commits,
                          z_challenge * domain.group_gen % R, saw_evals,
                          self.saw_opening, saw_challenge)
 

@@ -30,13 +30,14 @@ class Prover:
     """Holds a composer + prover key + preprocessed transcript
     (prover.rs:32-51)."""
 
-    def __init__(self, label: bytes, rng=None, msm=None):
+    def __init__(self, label: bytes, rng=None, msm=None, pcs=None):
         self.cs = StandardComposer(rng=rng)
         self.prover_key = None
         self.verifier_key = None
         self.preprocessed_transcript = PlonkTranscript(label)
         self._rng = rng
         self.msm = msm
+        self.pcs = pcs if pcs is not None else kzg
 
     def key_transcript(self, label: bytes, message: bytes):
         self.preprocessed_transcript.t.append_message(label, message)
@@ -48,7 +49,8 @@ class Prover:
         if self.prover_key is not None:
             raise ValueError("circuit already preprocessed")
         pk, vk = prep.preprocess_prover(
-            self.cs, srs, self.preprocessed_transcript, msm=self.msm)
+            self.cs, srs, self.preprocessed_transcript, msm=self.msm,
+            pcs=self.pcs)
         self.prover_key = pk
         self.verifier_key = vk
         return pk
@@ -74,7 +76,7 @@ class Prover:
         transcript.append_pi(b"pi", pi_mod.to_bytes(cs.public_inputs))
 
         def commit(poly):
-            return kzg.commit(srs, poly, msm=self.msm)
+            return self.pcs.commit(srs, poly, msm=self.msm)
 
         # --- Round 1: witness polynomials --------------------------------
         pad = [0] * (n - len(cs.w_l))
@@ -230,13 +232,13 @@ class Prover:
                     pk.sigmas["right_sigma"], pk.sigmas["out_sigma"],
                     f_poly, h_2_poly, table_poly,
                     w_l_poly, w_r_poly, w_o_poly, w_4_poly]
-        aw_opening = kzg.open_polys(srs, aw_polys, z_challenge, aw_challenge,
-                                    msm=self.msm)
+        aw_opening = self.pcs.open_polys(srs, aw_polys, z_challenge,
+                                         aw_challenge, msm=self.msm)
 
         saw_challenge = transcript.challenge_scalar(b"aggregate_witness")
         saw_polys = [z_poly, w_l_poly, w_r_poly, w_4_poly, h_1_poly,
                      z_2_poly, table_poly]
-        saw_opening = kzg.open_polys(
+        saw_opening = self.pcs.open_polys(
             srs, saw_polys, z_challenge * domain.group_gen % R,
             saw_challenge, msm=self.msm)
 

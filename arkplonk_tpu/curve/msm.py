@@ -240,3 +240,73 @@ class DeviceMSM:
 def msm_device(points, scalars):
     """One-shot device MSM (encodes points each call)."""
     return DeviceMSM(points).mul(scalars)
+
+
+class ShardedDeviceMSM:
+    """Mesh-sharded Pippenger: points partitioned across chips
+    (SURVEY §2.3.3 / BASELINE "points partitioned across chips, bucket
+    sums reduced across the mesh").
+
+    Each chip runs the full window pipeline on its point shard (local
+    argsort/scan/buckets — no collectives); the S x W per-shard window
+    sums (a few dozen points) come back and are reduced host-side.
+    """
+
+    def __init__(self, mesh, points, axis: str = "x"):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        self.mesh = mesh
+        self.axis = axis
+        self.n = len(points)
+        sh = NamedSharding(mesh, P(None, axis))
+        self.points = tuple(jax.device_put(c, sh)
+                            for c in g1.encode_points(points))
+
+    @functools.cached_property
+    def _shards(self):
+        return self.mesh.shape[self.axis]
+
+    def _sharded_fn(self, n_local: int, window: int):
+        from jax.sharding import PartitionSpec as P
+        body = jax.vmap(_window_body(n_local, window),
+                        in_axes=(0, None, None, None))
+
+        def local(digits, px, py, pz):
+            ws = body(digits, px, py, pz)  # pytree of (W, L, 1)
+            return tuple(c for c in ws)
+
+        return jax.jit(jax.shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P(None, self.axis), P(None, self.axis),
+                      P(None, self.axis), P(None, self.axis)),
+            out_specs=P(None, None, self.axis), check_vma=False))
+
+    def commit_mont(self, coeffs_mont):
+        """(L, n) Montgomery coeffs (may be host or sharded) -> affine."""
+        n = coeffs_mont.shape[-1]
+        assert n == self.points[0].shape[-1], "shard layout must match"
+        S = self._shards
+        assert n % S == 0
+        window = pick_window(n // S)
+        digits = _digits_fn(window)(coeffs_mont)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        digits = jax.device_put(
+            digits, NamedSharding(self.mesh, P(None, self.axis)))
+        fn = self._sharded_fn(n // S, window)
+        ws = fn(digits, *self.points)
+        # ws: (W, L, S) per coordinate; pull the few dozen shard-window
+        # sums to host (numpy) before flattening — reshaping across the
+        # sharded axis on device is not supported
+        num_w = ws[0].shape[0]
+        flat = tuple(
+            np.asarray(jax.device_get(c)).transpose(1, 0, 2).reshape(
+                FQ.L, -1) for c in ws)
+        pts = g1.decode_points(flat)  # index = w * S + s
+        acc = (1, 1, 0)
+        for w in range(num_w - 1, -1, -1):
+            for _ in range(window):
+                acc = cv.jac_double(acc)
+            for s_i in range(self._shards):
+                p = pts[w * S + s_i]
+                if p is not None:
+                    acc = cv.jac_add(acc, cv.jac_from_affine(p))
+        return cv.jac_to_affine(acc)

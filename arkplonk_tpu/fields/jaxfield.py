@@ -44,6 +44,7 @@ class JaxField:
         self.NPRIME_np = to_limbs(self.nprime, L)
         self.R2_np = to_limbs(self.R2_mod, L)
         self._jit_cache = {}
+        self._pallas_off = False
         self.ONE_np = to_limbs(self.R_mod, L)  # 1 in Montgomery form
         self.ZERO_np = np.zeros((L,), dtype=np.uint32)
 
@@ -233,8 +234,33 @@ class JaxField:
         res, _ = self._scan_sub(self._n_limbs_bcast(a.ndim), a)
         return jnp.where(z[None], jnp.zeros_like(res), res)
 
+    def pallas_disabled(self):
+        """Context manager: force the jnp path while tracing (needed for
+        auto-sharded graphs where a pallas_call cannot be partitioned)."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def _ctx():
+            prev = self._pallas_off
+            self._pallas_off = True
+            try:
+                yield
+            finally:
+                self._pallas_off = prev
+
+        return _ctx()
+
     def mont_mul(self, a, b):
-        """Montgomery product: (a * b * R^{-1}) mod N, inputs/outputs Montgomery form."""
+        """Montgomery product: (a * b * R^{-1}) mod N, inputs/outputs
+        Montgomery form. Dispatches to the fused Pallas kernel on TPU
+        backends (fields/pallas_mont.py), else the jnp graph below."""
+        if not self._pallas_off:
+            from . import pallas_mont
+            if pallas_mont.pallas_enabled():
+                return pallas_mont.mont_mul_pallas(self, a, b)
+        return self._mont_mul_jnp(a, b)
+
+    def _mont_mul_jnp(self, a, b):
         L = self.L
         # T = a*b as 2L columns -> carried limbs
         t_cols = self._mul_cols(a, b)

@@ -41,8 +41,14 @@ def make_exclusive_prefix_mul(mesh, axis: str = "x"):
         # previous shards); others offset * local exclusive
         return FR.mont_mul(excl_local, offset)
 
-    return jax.jit(jax.shard_map(local, mesh=mesh, in_specs=P(None, axis),
-                                 out_specs=P(None, axis), check_vma=False))
+    inner = jax.jit(jax.shard_map(local, mesh=mesh, in_specs=P(None, axis),
+                                  out_specs=P(None, axis), check_vma=False))
+
+    def wrapper(x):
+        with FR.pallas_disabled():
+            return inner(x)
+
+    return wrapper
 
 
 def make_batch_inv(mesh, axis: str = "x"):
@@ -79,5 +85,11 @@ def make_batch_inv(mesh, axis: str = "x"):
         inv = FR.mont_mul(FR.mont_mul(prefix_excl, suffix_excl), ginv)
         return FR.select(zero_mask, FR.zeros(x.shape[1:]), inv)
 
-    return jax.jit(jax.shard_map(local, mesh=mesh, in_specs=P(None, axis),
-                                 out_specs=P(None, axis), check_vma=False))
+    inner = jax.jit(jax.shard_map(local, mesh=mesh, in_specs=P(None, axis),
+                                  out_specs=P(None, axis), check_vma=False))
+
+    def wrapper(x):
+        with FR.pallas_disabled():
+            return inner(x)
+
+    return wrapper

@@ -100,6 +100,19 @@ def divide_by_linear(coeffs, z):
 # jitted stage cores (cached per size)
 # ---------------------------------------------------------------------------
 
+def _mesh_safe(fn, mesh_axes):
+    """Force the jnp field path while tracing mesh-sharded programs
+    (pallas_call cannot be auto-partitioned)."""
+    if mesh_axes is None:
+        return fn
+
+    def wrapper(*args):
+        with FR.pallas_disabled():
+            return fn(*args)
+
+    return wrapper
+
+
 def _scan_ops(mesh_axes):
     """(batch_inv, exclusive_prefix_mul) — local or distributed."""
     if mesh_axes is None:
@@ -136,7 +149,7 @@ def _z_poly_fn(n: int, mesh_axes=None):
         z_evals = excl_prefix(ratios)
         return ntt.intt(z_evals, dd, mesh_axes)
 
-    return f
+    return _mesh_safe(f, mesh_axes)
 
 
 @functools.lru_cache(maxsize=None)
@@ -164,7 +177,7 @@ def _z2_poly_fn(n: int, mesh_axes=None):
         z2_evals = excl_prefix(ratios)
         return ntt.intt(z2_evals, dd, mesh_axes)
 
-    return f
+    return _mesh_safe(f, mesh_axes)
 
 
 @functools.lru_cache(maxsize=None)
@@ -175,7 +188,7 @@ def _wire_intt_fn(n: int, mesh_axes=None):
     def f(wire_evals):  # (L, B, n)
         return ntt.intt(wire_evals, dd, mesh_axes)
 
-    return f
+    return _mesh_safe(f, mesh_axes)
 
 
 @functools.lru_cache(maxsize=None)
@@ -266,7 +279,7 @@ def _quotient_fn(n: int, mesh_axes=None):
         q = FR.mont_mul(total, vh_tiled)
         return ntt.coset_intt(q, dd4, mesh_axes)
 
-    return f
+    return _mesh_safe(f, mesh_axes)
 
 
 @functools.lru_cache(maxsize=None)

@@ -62,22 +62,23 @@ def scalars_to_digits(scalars, window: int) -> np.ndarray:
 
 @functools.lru_cache(maxsize=None)
 def _all_windows_fn(n: int, window: int):
-    """vmap over windows: ONE compile, all windows batched (better MXU/VPU
-    utilization and ~num_windows fewer XLA compiles)."""
-    f = _window_body(n, window)
-    return jax.jit(jax.vmap(f, in_axes=(0, None, None, None)))
+    """All windows in one call via EXPLICIT batch dims (not vmap: the
+    Pallas mont-mul kernels cannot be auto-batched once the flattened
+    width exceeds one block)."""
+    return jax.jit(_windows_batched_body(n, window))
 
 
 def _hs_scan_points(pt, seg, steps: int):
     """Hillis-Steele segmented inclusive scan of points (combine=jac_add,
-    reset across `seg` boundaries).
+    reset across `seg` boundaries), batched: pt leaves are (L, W, n),
+    seg is (W, n).
 
-    FIXED (L, n) shapes at every step -> ONE jac_add instance in the XLA
-    graph regardless of n.  (An associative_scan here generates ~2 log n
-    distinct-shaped point-add kernels; measured 526s XLA-TPU compile vs
-    seconds for this form.)  Work is n log n point-adds instead of 2n —
-    the compile-time/runtime trade round 1 takes; a Pallas kernel replaces
-    this in the scaling pass."""
+    FIXED shapes at every step -> ONE jac_add instance in the XLA graph
+    regardless of n (an associative_scan here generated ~2 log n
+    distinct-shaped point-add kernels; measured 526s XLA-TPU compile).
+    Work is n log n point-adds instead of 2n — the compile/runtime trade
+    round 1 takes; a Pallas point kernel replaces this in the scaling
+    pass."""
     n = pt[0].shape[-1]
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
 
@@ -85,8 +86,8 @@ def _hs_scan_points(pt, seg, steps: int):
         x, y, z = carry
         off = jnp.int32(1) << i
         src = jnp.maximum(iota - off, 0)
-        sx, sy, sz = x[:, src], y[:, src], z[:, src]
-        valid = (iota >= off) & (seg[src] == seg)
+        sx, sy, sz = x[..., src], y[..., src], z[..., src]
+        valid = (iota >= off)[None, :] & (seg[..., src] == seg)  # (W, n)
         ax, ay, az = g1.jac_add((x, y, z), (sx, sy, sz))
         return (FQ.select(valid, ax, x), FQ.select(valid, ay, y),
                 FQ.select(valid, az, z))
@@ -95,8 +96,8 @@ def _hs_scan_points(pt, seg, steps: int):
 
 
 def _hs_total_sum(pt, steps: int):
-    """Total sum of a point batch via Hillis-Steele shifts; result in
-    column 0. Fixed shapes -> one jac_add instance."""
+    """Total sum along the last axis via Hillis-Steele shifts; result in
+    column 0. pt leaves (L, W, n)."""
     n = pt[0].shape[-1]
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
 
@@ -104,47 +105,58 @@ def _hs_total_sum(pt, steps: int):
         x, y, z = carry
         off = jnp.int32(1) << i
         src = jnp.minimum(iota + off, n - 1)
-        valid = iota + off <= n - 1
-        ax, ay, az = g1.jac_add((x, y, z), (x[:, src], y[:, src],
-                                            z[:, src]))
+        valid = ((iota + off) <= n - 1)[None, :]
+        ax, ay, az = g1.jac_add((x, y, z), (x[..., src], y[..., src],
+                                            z[..., src]))
         return (FQ.select(valid, ax, x), FQ.select(valid, ay, y),
                 FQ.select(valid, az, z))
 
     x, y, z = jax.lax.fori_loop(0, steps, body, pt)
-    return (x[:, :1], y[:, :1], z[:, :1])
+    return (x[..., :1], y[..., :1], z[..., :1])
 
 
-def _window_body(n: int, window: int):
+def _windows_batched_body(n: int, window: int):
     steps_n = max((n - 1).bit_length(), 1)
     nb = 1 << window
     steps_b = max((nb - 2).bit_length(), 1)
 
     def f(digits, px, py, pz):
-        """One window: digits (n,) int32, points (L, n) each.
-        Returns the window sum as a single Jacobian point (L, 1) each."""
-        order = jnp.argsort(digits, stable=True)
-        d_s = digits[order]
-        pt = (px[:, order], py[:, order], pz[:, order])
+        """All windows at once: digits (W, n) int32, points (L, n) each.
+        Returns the window sums as (L, W, 1) pytree leaves."""
+        order = jnp.argsort(digits, axis=-1, stable=True)   # (W, n)
+        d_s = jnp.take_along_axis(digits, order, axis=-1)
+        pt = (px[:, order], py[:, order], pz[:, order])     # (L, W, n)
 
         sums = _hs_scan_points(pt, d_s, steps_n)
 
         # bucket totals at segment ends: for bucket b, last index with
-        # d_s == b is searchsorted(d_s, b, 'right') - 1
+        # d_s == b is searchsorted(d_s, b, 'right') - 1 (per window)
         buckets = jnp.arange(1, nb, dtype=jnp.int32)
-        idx = jnp.searchsorted(d_s, buckets, side="right") - 1
-        valid = (idx >= 0) & (d_s[jnp.clip(idx, 0, n - 1)] == buckets)
+        idx = jax.vmap(lambda row: jnp.searchsorted(
+            row, buckets, side="right"))(d_s) - 1           # (W, nb-1)
+        valid = (idx >= 0) & (jnp.take_along_axis(
+            d_s, jnp.clip(idx, 0, n - 1), axis=-1) == buckets[None, :])
         idx = jnp.clip(idx, 0, n - 1)
-        bx = sums[0][:, idx]
-        by = sums[1][:, idx]
-        bz = FQ.select(valid, sums[2][:, idx], FQ.zeros((nb - 1,)))
+
+        def gather(c):
+            return jnp.take_along_axis(
+                c, jnp.broadcast_to(idx[None], (FQ.L,) + idx.shape),
+                axis=-1)
+
+        bx = gather(sums[0])
+        by = gather(sums[1])
+        bz = FQ.select(valid, gather(sums[2]),
+                       FQ.zeros(idx.shape))
 
         # weighted reduction: sum_b b * S_b = sum of suffix sums.
-        # suffix sums = segmented scan over the flipped buckets (one seg)
-        rseg = jnp.zeros((nb - 1,), dtype=jnp.int32)
+        rseg = jnp.zeros(idx.shape, dtype=jnp.int32)
         suff = _hs_scan_points(
-            (jnp.flip(bx, axis=1), jnp.flip(by, axis=1),
-             jnp.flip(bz, axis=1)), rseg, steps_b)
-        return _hs_total_sum(suff, steps_b)
+            (jnp.flip(bx, axis=-1), jnp.flip(by, axis=-1),
+             jnp.flip(bz, axis=-1)), rseg, steps_b)
+        x, y, z = _hs_total_sum(suff, steps_b)
+        # reorder leaves to (W, L, 1) to preserve the old interface
+        return (x.transpose(1, 0, 2), y.transpose(1, 0, 2),
+                z.transpose(1, 0, 2))
 
     return f
 
@@ -155,16 +167,23 @@ def _digits_fn(window: int):
 
     @jax.jit
     def f(coeffs_mont):
-        """(L, n) Montgomery Fr coeffs -> (num_windows, n) int32 digits,
-        fully on device (the 16-bit limbs ARE the windows)."""
-        raw = FR.from_mont(coeffs_mont)  # (16, n) 16-bit limbs
+        """(L, ..., n) Montgomery Fr coeffs -> (..., num_windows, n) int32
+        digits, fully on device (the 16-bit limbs ARE the windows).
+        No vmap: from_mont's Pallas kernel handles batch dims natively."""
+        raw = FR.from_mont(coeffs_mont)  # (16, ..., n) 16-bit limbs
+        lead = raw.shape[1:-1]
+        n = raw.shape[-1]
         if window == 16:
-            return raw.astype(jnp.int32)
-        per = 16 // window
-        mask = (1 << window) - 1
-        parts = [((raw >> (window * k)) & mask) for k in range(per)]
-        stacked = jnp.stack(parts, axis=1)  # (16, per, n)
-        return stacked.reshape(16 * per, raw.shape[1]).astype(jnp.int32)
+            out = raw
+        else:
+            per = 16 // window
+            mask = (1 << window) - 1
+            parts = [((raw >> (window * k)) & mask) for k in range(per)]
+            out = jnp.stack(parts, axis=1)  # (16, per, ..., n)
+            out = out.reshape((16 * per,) + lead + (n,))
+        # move the window axis after the batch dims: (..., W, n)
+        perm = tuple(range(1, 1 + len(lead))) + (0, out.ndim - 1)
+        return out.transpose(perm).astype(jnp.int32)
 
     return f
 
@@ -188,7 +207,7 @@ class DeviceMSM:
         L, P, n = coeffs_mont.shape
         assert n <= self.n, (n, self.n)
         window = pick_window(n)
-        digits = jax.vmap(_digits_fn(window), in_axes=1)(coeffs_mont)
+        digits = _digits_fn(window)(coeffs_mont)   # (P, W, n)
         num_w = digits.shape[1]
         digits = digits.reshape(P * num_w, n)
         px, py, pz = (c[:, :n] for c in self.points)
@@ -267,8 +286,7 @@ class ShardedDeviceMSM:
 
     def _sharded_fn(self, n_local: int, window: int):
         from jax.sharding import PartitionSpec as P
-        body = jax.vmap(_window_body(n_local, window),
-                        in_axes=(0, None, None, None))
+        body = _windows_batched_body(n_local, window)
 
         def local(digits, px, py, pz):
             ws = body(digits, px, py, pz)  # pytree of (W, L, 1)

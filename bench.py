@@ -9,9 +9,8 @@ vs_baseline = reference prove time at the same size on the Ryzen 7 3700X
 (BASELINE.md) divided by ours, i.e. >1.0 means faster than the reference.
 
 Environment knobs:
-  BENCH_LOG2N   circuit size exponent (default 8 — XLA-TPU compile of the
-                limb kernels through this sandbox's tunnel runs ~8 min at
-                2^8; raise once the Pallas kernel path lands)
+  BENCH_LOG2N   circuit size exponent (default 12; first prove includes
+                ~3-4 min of served XLA-TPU compile in this sandbox)
   BENCH_BACKEND "device" (default) or "host"
 """
 
@@ -37,7 +36,7 @@ def build_bench_circuit(cs, size):
 
 
 def main():
-    log2n = int(os.environ.get("BENCH_LOG2N", "8"))
+    log2n = int(os.environ.get("BENCH_LOG2N", "12"))
     backend = os.environ.get("BENCH_BACKEND", "device")
     n = 1 << log2n
 

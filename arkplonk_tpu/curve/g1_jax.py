@@ -77,7 +77,23 @@ def jac_double(p) -> tuple:
 
 
 def jac_add(p, q) -> tuple:
-    """P + Q, complete via selects (handles identity, doubling, inverse)."""
+    """P + Q, complete via selects (handles identity, doubling, inverse).
+
+    ARKPLONK_FUSED_POINT=1 opts into the fused Pallas kernel
+    (curve/pallas_point.py: all ~36 Fq muls in one Mosaic kernel).
+    EXPERIMENTAL: correct, but the ~60k-op kernel currently takes >9 min
+    of Mosaic compile on the sandbox TPU — round-2 work splits it."""
+    import os
+    if os.environ.get("ARKPLONK_FUSED_POINT") == "1" and not FQ._pallas_off:
+        from ..fields import pallas_mont
+        if pallas_mont.pallas_enabled():
+            from . import pallas_point
+            with FQ.pallas_disabled():  # the kernel body IS the mul code
+                return pallas_point.jac_add_pallas(p, q)
+    return _jac_add_jnp(p, q)
+
+
+def _jac_add_jnp(p, q) -> tuple:
     x1, y1, z1 = p
     x2, y2, z2 = q
     z1z1 = FQ.mont_sqr(z1)

@@ -39,93 +39,141 @@ def pallas_enabled() -> bool:
         return False
 
 
-@functools.lru_cache(maxsize=None)
-def _mont_kernel(modulus: int, L: int, interpret: bool):
-    from jax.experimental import pallas as pl
-
+def _mont_constants(modulus: int, L: int):
     from .limb import to_limbs
     N = [int(x) for x in to_limbs(modulus, L)]
     R_full = 1 << (16 * L)
     NP = [int(x) for x in to_limbs((-pow(modulus, -1, R_full)) % R_full, L)]
+    return N, NP
+
+
+def mont_mul_tile(a, b, N, NP, L):
+    """Unrolled 16-bit-limb REDC on (L, B) u32 tiles — the shared in-kernel
+    primitive for the mont-mul and fused point kernels."""
+    # 1. schoolbook columns of a*b (rows kept as (1, B))
+    cols = [None] * (2 * L)
+
+    def acc(k, v):
+        cols[k] = v if cols[k] is None else cols[k] + v
+
+    for i in range(L):
+        p = a[i:i + 1] * b           # (L, B) u32, exact
+        lo = p & MASK16
+        hi = p >> 16
+        for j in range(L):
+            acc(i + j, lo[j:j + 1])
+            if i + j + 1 < 2 * L:
+                acc(i + j + 1, hi[j:j + 1])
+
+    # 2. carry to exact 16-bit limbs T[0..2L)
+    T = []
+    c = jnp.zeros_like(a[0:1])
+    for k in range(2 * L):
+        s = cols[k] + c
+        T.append(s & MASK16)
+        c = s >> 16
+
+    # 3. m = (T mod R) * N' mod R   (N' limbs are scalar constants)
+    mcols = [None] * L
+    for i in range(L):
+        ti = T[i]
+        for j in range(L - i):
+            if NP[j] == 0:
+                continue
+            p = ti * NP[j]           # < 2^32, exact u32
+            acc2 = p & MASK16
+            mcols[i + j] = acc2 if mcols[i + j] is None \
+                else mcols[i + j] + acc2
+            if i + j + 1 < L:
+                h = p >> 16
+                mcols[i + j + 1] = h if mcols[i + j + 1] is None \
+                    else mcols[i + j + 1] + h
+    m = []
+    c = jnp.zeros_like(a[0:1])
+    for k in range(L):
+        s = (mcols[k] if mcols[k] is not None
+             else jnp.zeros_like(c)) + c
+        m.append(s & MASK16)
+        c = s >> 16
+
+    # 4. u = (T + m*N) / R ; conditional subtract
+    ucols = [t for t in T]
+    for i in range(L):
+        mi = m[i]
+        for j in range(L):
+            if N[j] == 0:
+                continue
+            p = mi * N[j]
+            ucols[i + j] = ucols[i + j] + (p & MASK16)
+            if i + j + 1 < 2 * L:
+                ucols[i + j + 1] = ucols[i + j + 1] + (p >> 16)
+    c = jnp.zeros_like(a[0:1])
+    res = []
+    for k in range(2 * L):
+        s = ucols[k] + c
+        if k >= L:
+            res.append(s & MASK16)
+        c = s >> 16
+    # conditional subtract N (res < 2N)
+    bor = jnp.zeros_like(a[0:1])
+    diff = []
+    for k in range(L):
+        d = res[k] + jnp.uint32(0x10000 - N[k]) - bor
+        diff.append(d & MASK16)
+        bor = jnp.uint32(1) - (d >> 16)
+    keep = bor.astype(bool)
+    return jnp.concatenate(
+        [jnp.where(keep, r, d) for r, d in zip(res, diff)], axis=0)
+
+
+def add_tile(a, b, N, L):
+    """(a + b) mod N on (L, B) tiles."""
+    c = jnp.zeros_like(a[0:1])
+    out = []
+    for k in range(L):
+        s = a[k:k + 1] + b[k:k + 1] + c
+        out.append(s & MASK16)
+        c = s >> 16
+    return _cond_sub_tile(jnp.concatenate(out, axis=0), N, L)
+
+
+def sub_tile(a, b, N, L):
+    """(a - b) mod N on (L, B) tiles."""
+    bor = jnp.zeros_like(a[0:1])
+    d = []
+    for k in range(L):
+        t = a[k:k + 1] + jnp.uint32(0x10000) - b[k:k + 1] - bor
+        d.append(t & MASK16)
+        bor = jnp.uint32(1) - (t >> 16)
+    dd = jnp.concatenate(d, axis=0)
+    c = jnp.zeros_like(a[0:1])
+    e = []
+    for k in range(L):
+        s = dd[k:k + 1] + jnp.uint32(N[k]) + c
+        e.append(s & MASK16)
+        c = s >> 16
+    ee = jnp.concatenate(e, axis=0)
+    return jnp.where(bor.astype(bool), ee, dd)
+
+
+def _cond_sub_tile(a, N, L):
+    bor = jnp.zeros_like(a[0:1])
+    diff = []
+    for k in range(L):
+        d = a[k:k + 1] + jnp.uint32(0x10000 - N[k]) - bor
+        diff.append(d & MASK16)
+        bor = jnp.uint32(1) - (d >> 16)
+    return jnp.where(bor.astype(bool), a, jnp.concatenate(diff, axis=0))
+
+
+@functools.lru_cache(maxsize=None)
+def _mont_kernel(modulus: int, L: int, interpret: bool):
+    from jax.experimental import pallas as pl
+
+    N, NP = _mont_constants(modulus, L)
 
     def kernel(a_ref, b_ref, o_ref):
-        a = a_ref[...]
-        b = b_ref[...]
-
-        # 1. schoolbook columns of a*b (rows kept as (1, BLOCK))
-        cols = [None] * (2 * L)
-
-        def acc(k, v):
-            cols[k] = v if cols[k] is None else cols[k] + v
-
-        for i in range(L):
-            p = a[i:i + 1] * b           # (L, B) u32, exact
-            lo = p & MASK16
-            hi = p >> 16
-            for j in range(L):
-                acc(i + j, lo[j:j + 1])
-                if i + j + 1 < 2 * L:
-                    acc(i + j + 1, hi[j:j + 1])
-
-        # 2. carry to exact 16-bit limbs T[0..2L)
-        T = []
-        c = jnp.zeros_like(a[0:1])
-        for k in range(2 * L):
-            s = cols[k] + c
-            T.append(s & MASK16)
-            c = s >> 16
-
-        # 3. m = (T mod R) * N' mod R   (N' limbs are scalar constants)
-        mcols = [None] * L
-        for i in range(L):
-            ti = T[i]
-            for j in range(L - i):
-                if NP[j] == 0:
-                    continue
-                p = ti * NP[j]           # < 2^32, exact u32
-                acc2 = p & MASK16
-                mcols[i + j] = acc2 if mcols[i + j] is None \
-                    else mcols[i + j] + acc2
-                if i + j + 1 < L:
-                    h = p >> 16
-                    mcols[i + j + 1] = h if mcols[i + j + 1] is None \
-                        else mcols[i + j + 1] + h
-        m = []
-        c = jnp.zeros_like(a[0:1])
-        for k in range(L):
-            s = (mcols[k] if mcols[k] is not None
-                 else jnp.zeros_like(c)) + c
-            m.append(s & MASK16)
-            c = s >> 16
-
-        # 4. u = (T + m*N) / R ; conditional subtract
-        ucols = [t for t in T]
-        for i in range(L):
-            mi = m[i]
-            for j in range(L):
-                if N[j] == 0:
-                    continue
-                p = mi * N[j]
-                ucols[i + j] = ucols[i + j] + (p & MASK16)
-                if i + j + 1 < 2 * L:
-                    ucols[i + j + 1] = ucols[i + j + 1] + (p >> 16)
-        c = jnp.zeros_like(a[0:1])
-        res = []
-        for k in range(2 * L):
-            s = ucols[k] + c
-            if k >= L:
-                res.append(s & MASK16)
-            c = s >> 16
-        # conditional subtract N (res < 2N)
-        bor = jnp.zeros_like(a[0:1])
-        diff = []
-        for k in range(L):
-            d = res[k] + jnp.uint32(0x10000 - N[k]) - bor
-            diff.append(d & MASK16)
-            bor = jnp.uint32(1) - (d >> 16)
-        keep = bor.astype(bool)
-        out = [jnp.where(keep, r, d) for r, d in zip(res, diff)]
-        o_ref[...] = jnp.concatenate(out, axis=0)
+        o_ref[...] = mont_mul_tile(a_ref[...], b_ref[...], N, NP, L)
 
     @jax.jit
     def call(a, b):  # (L, n) with n % BLOCK == 0

@@ -36,15 +36,31 @@ def encode_points(points) -> tuple:
 
 
 def decode_points(p) -> list:
-    """Jacobian pytree -> list of host affine points (or None)."""
+    """Jacobian pytree -> list of host affine points (or None).
+
+    One shared Montgomery-trick inversion for all Z's (a per-point
+    Fermat pow cost ~2 ms each on host)."""
     from ..fields.host import Q, fq_inv
     X, Y, Z = (FQ.decode_fast(c) for c in p)
+    nz = [z for z in Z if z != 0]
+    invs = {}
+    if nz:
+        # batch inversion: prefix products + one Fermat + suffix walk
+        prefix = [1]
+        for z in nz:
+            prefix.append(prefix[-1] * z % Q)
+        t = fq_inv(prefix[-1])
+        for i in range(len(nz) - 1, -1, -1):
+            invs[i] = prefix[i] * t % Q
+            t = t * nz[i] % Q
     out = []
+    j = 0
     for x, y, z in zip(X, Y, Z):
         if z == 0:
             out.append(None)
         else:
-            zi = fq_inv(z)
+            zi = invs[j]
+            j += 1
             zi2 = zi * zi % Q
             out.append((x * zi2 % Q, y * zi2 * zi % Q))
     return out

@@ -491,11 +491,22 @@ def final_exponentiation(f):
 
 def pairing(p, q):
     """e(P, Q) for P in G1, Q in G2."""
-    return final_exponentiation(miller_loop(p, q))
+    return multi_pairing([(p, q)])
 
 
 def multi_pairing(pairs):
-    """prod e(P_i, Q_i): shared final exponentiation (the KZG batch check)."""
+    """prod e(P_i, Q_i): shared final exponentiation (the KZG batch check).
+
+    Dispatches to the native C core (curve/native_pairing.py, ~100x
+    faster) when buildable; ARKPLONK_NATIVE_PAIRING=0 forces this exact
+    Python path (the golden reference the C core is tested against)."""
+    from . import native_pairing
+    if native_pairing.available():
+        return native_pairing.multi_pairing(pairs)
+    return multi_pairing_py(pairs)
+
+
+def multi_pairing_py(pairs):
     f = F12_ONE
     for p, q in pairs:
         f = f12_mul(f, miller_loop(p, q))

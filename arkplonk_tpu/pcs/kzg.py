@@ -185,27 +185,72 @@ def open_polys(srs: SRS, polys, z: int, chi: int, msm=None) -> OpeningProof:
     return OpeningProof(commit(srs, w, msm=msm))
 
 
+def _check_lhs(commitments, z: int, values, proof: OpeningProof, chi: int):
+    """The G1 linear combination C' - v*G + z*W of one aggregated
+    opening check (lhs of e(lhs, H) * e(-W, tau*H) == 1)."""
+    assert len(commitments) == len(values)
+    v = 0
+    power = 1
+    parts = []
+    for c, val in zip(commitments, values):
+        parts.append((c, power))
+        v = (v + val * power) % R
+        power = power * chi % R
+    parts.append((cv.G1_GEN, (-v) % R))
+    if proof.w is not None:
+        parts.append((proof.w, z % R))
+    return _host_msm(parts)
+
+
+def _host_msm(parts):
+    from ..curve import native_pairing
+    if native_pairing.available():
+        return native_pairing.g1_msm([p for p, _ in parts],
+                                     [s for _, s in parts])
+    acc = None
+    for point, scalar in parts:
+        if point is None or scalar % R == 0:
+            continue
+        acc = cv.G1.add(acc, cv.G1.mul(point, scalar % R))
+    return acc
+
+
 def check(srs: SRS, commitments, z: int, values, proof: OpeningProof,
           chi: int) -> bool:
     """Verify an aggregated opening: one 2-pairing product."""
-    assert len(commitments) == len(values)
-    acc = None
-    v = 0
-    power = 1
-    for c, val in zip(commitments, values):
-        if c is not None:
-            acc = cv.G1.add(acc, cv.G1.mul(c, power))
-        v = (v + val * power) % R
-        power = power * chi % R
-    # C' - v G + z W
-    lhs = cv.G1.add(acc, cv.G1.neg(cv.G1.mul(cv.G1_GEN, v)))
-    w = proof.w
-    if w is not None:
-        lhs = cv.G1.add(lhs, cv.G1.mul(w, z))
-    # e(lhs, H) * e(-W, tau H) == 1
-    pairs = [(lhs, srs.h)]
-    if w is not None:
-        pairs.append((cv.G1.neg(w), srs.beta_h))
-    if lhs is None and w is None:
+    return batch_check(srs, [(commitments, z, values, proof, chi)])
+
+
+def batch_check(srs: SRS, groups) -> bool:
+    """Verify several aggregated openings with ONE 2-pairing product.
+
+    groups: iterable of (commitments, z, values, proof, chi).  Each
+    opening i contributes e(lhs_i, H) * e(-W_i, tau*H); a random
+    separator r folds them: e(sum r^i lhs_i, H) * e(-sum r^i W_i, tau*H)
+    == 1.  (The reference runs PC::check per opening, proof.rs:398-425 —
+    two separate products; this halves the pairing count.)"""
+    import hashlib
+    groups = list(groups)
+    lhss = []
+    ws = []
+    for commitments, z, values, proof, chi in groups:
+        lhss.append(_check_lhs(commitments, z, values, proof, chi))
+        ws.append(proof.w)
+    if all(l is None for l in lhss) and all(w is None for w in ws):
         return True
-    return cv.multi_pairing([p for p in pairs if p[0] is not None]) == cv.F12_ONE
+    # verifier-local separator: hash of all inputs (unpredictable to a
+    # prover who fixed the proof before seeing it is not required — any
+    # value unknown at proving time works; a hash beats trusting an RNG)
+    h = hashlib.sha256()
+    for p in lhss + ws:
+        h.update(repr(p).encode())
+    seps = [1]
+    for _ in range(len(groups) - 1):
+        seps.append(int.from_bytes(
+            hashlib.sha256(h.digest() + len(seps).to_bytes(4, "big"))
+            .digest(), "big") % R)
+    lhs = _host_msm(list(zip(lhss, seps)))
+    wneg = _host_msm([(w, (-s) % R) for w, s in zip(ws, seps)])
+    pairs = [(lhs, srs.h), (wneg, srs.beta_h)]
+    return cv.multi_pairing(
+        [p for p in pairs if p[0] is not None]) == cv.F12_ONE

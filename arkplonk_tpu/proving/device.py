@@ -347,7 +347,7 @@ def _dec_stack(arr):
 class DeviceProverKey:
     """Device-resident preprocessed circuit (the TPU ProverKey).
 
-    Holds the SRS G1 powers on device (DeviceMSM) so commitments never
+    Holds the SRS G1 powers on device (PippengerMSM) so commitments never
     round-trip polynomial coefficients through the host."""
 
     def __init__(self, host_pk, srs=None):
@@ -374,8 +374,35 @@ class DeviceProverKey:
             [col.elems for col in host_pk.table_columns])
         self.msm = None
         if srs is not None:
-            from ..curve.msm import DeviceMSM
-            self.msm = DeviceMSM(srs.g1[:n])
+            self.msm = make_device_msm(srs.g1[:n])
+
+    @classmethod
+    def from_device_arrays(cls, n, sel_coeffs, sel4, sig_coeffs, sig4,
+                           sigma_lagrange, table_cols, msm):
+        """Direct construction from the device preprocess (no host
+        ProverKey materialized)."""
+        self = cls.__new__(cls)
+        self.host_pk = None
+        self.n = n
+        self.sel_coeffs = sel_coeffs
+        self.sel4 = sel4
+        self.sig_coeffs = sig_coeffs
+        self.sig4 = sig4
+        self.sigma_lagrange = sigma_lagrange
+        self.table_cols = table_cols
+        self.msm = msm
+        return self
+
+
+def make_device_msm(points):
+    """Device MSM selection: round-2 Pippenger by default,
+    ARKPLONK_MSM=v1 opts back into the round-1 scan MSM."""
+    import os
+    if os.environ.get("ARKPLONK_MSM") == "v1":
+        from ..curve.msm import DeviceMSM
+        return DeviceMSM(points)
+    from ..curve.msm2 import PippengerMSM
+    return PippengerMSM(points)
 
 
 class DeviceProver:
@@ -405,15 +432,28 @@ class DeviceProver:
         return self._host.circuit_bound()
 
     def preprocess(self, srs):
-        pk = self._host.preprocess(srs)
-        self.device_pk = DeviceProverKey(pk, srs=srs)
-        return pk
+        import os
+        if os.environ.get("ARKPLONK_HOST_PREPROCESS") == "1":
+            pk = self._host.preprocess(srs)
+            self.device_pk = DeviceProverKey(pk, srs=srs)
+            return pk
+        from .device_preprocess import device_preprocess
+        if self._host.prover_key is not None or self.device_pk is not None:
+            raise ValueError("circuit already preprocessed")
+        n = self._host.cs.circuit_bound()
+        msm = self.msm if self.msm is not None else make_device_msm(
+            srs.g1[:n])
+        dpk, vk = device_preprocess(
+            self._host.cs, srs, self._host.preprocessed_transcript, msm)
+        self.device_pk = dpk
+        self._host.verifier_key = vk
+        return dpk
 
     def clear_witness(self):
         self._host.clear_witness()
 
     def prove(self, srs):
-        if self._host.prover_key is None:
+        if self.device_pk is None:
             self.preprocess(srs)
         proof = self.prove_with_preprocessed(srs, self.device_pk)
         self.clear_witness()
@@ -446,7 +486,6 @@ class DeviceProver:
         cs = self._host.cs
         hd = host.Domain(cs.circuit_bound())
         n = hd.size
-        pk = dpk.host_pk
         transcript = self._host.preprocessed_transcript.clone()
         transcript.append_pi(b"pi", pi_mod.to_bytes(cs.public_inputs))
 

@@ -146,12 +146,20 @@ class Proof:
                      ev.custom("b_next_eval"), ev.custom("d_next_eval"),
                      ev.h1_next_eval, ev.z2_next_eval, ev.table_next_eval]
 
+        saw_z = z_challenge * domain.group_gen % R
+        if hasattr(pcs, "batch_check"):
+            # both openings in ONE 2-pairing product (vs the reference's
+            # two PC::check calls, proof.rs:398-425)
+            return pcs.batch_check(srs, [
+                (aw_commits, z_challenge, aw_evals, self.aw_opening,
+                 aw_challenge),
+                (saw_commits, saw_z, saw_evals, self.saw_opening,
+                 saw_challenge)])
         ok1 = pcs.check(srs, aw_commits, z_challenge, aw_evals,
                         self.aw_opening, aw_challenge)
         if not ok1:
             return False
-        return pcs.check(srs, saw_commits,
-                         z_challenge * domain.group_gen % R, saw_evals,
+        return pcs.check(srs, saw_commits, saw_z, saw_evals,
                          self.saw_opening, saw_challenge)
 
     # ------------------------------------------------------------------
@@ -261,6 +269,10 @@ class Proof:
 
 
 def _msm_points(parts):
+    from ..curve import native_pairing
+    if native_pairing.available():
+        return native_pairing.g1_msm([p for p, _ in parts],
+                                     [s for _, s in parts])
     acc = None
     for point, scalar in parts:
         if point is None or scalar % R == 0:

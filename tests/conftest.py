@@ -11,6 +11,13 @@ jax.config.update before any backend initializes.
 
 import os
 
+os.environ.setdefault("ARKPLONK_CACHE", "0")  # CPU AOT cache entries fail
+# machine-feature validation in this sandbox; keep the cache device-only.
+
+# Small Pallas blocks: interpret-mode kernel tests then run a single
+# grid step instead of 8 (the kernel body is block-size agnostic).
+os.environ.setdefault("ARKPLONK_PALLAS_LANES", "128")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -5,18 +5,22 @@ TPU-native replacement for arkworks `VariableBaseMSM::multi_scalar_mul`
 Hillis-Steele segmented scans = n log n full Jacobian adds per window;
 this version does the textbook-work Pippenger with TPU-shaped data flow:
 
-  1. signed windowed digits (c bits -> buckets 1..2^(c-1), sign flips
-     the point: halves the bucket count) computed on device from the
-     Montgomery scalars;
-  2. per-window argsort by bucket (XLA sort) + searchsorted bucket
-     ranges — the memory-random bucket scatter becomes a dense gather;
+  1. signed windowed digits via the carry-free +H trick: adding
+     H = sum_w 2^(c*w-1) makes every unsigned digit of (s+H) minus
+     2^(c-1) the signed digit — no sequential window carry ripple;
+     sign flips the point (negated y), halving the bucket count;
+  2. per-window argsort by bucket (XLA sort, measured cheap) +
+     searchsorted bucket ranges — the memory-random bucket scatter
+     becomes a dense gather;
   3. a `lax.while_loop` over bucket *rounds*: round r gathers the r-th
-     element of every bucket (a dense (G, B) gather) and folds it into
-     the (G, B) Jacobian accumulators with ONE fused masked mixed-add
-     kernel call (pallas_jac.madd) — total work = ~n mixed adds per
-     window, fully lane-parallel across windows x buckets;
-  4. weighted bucket reduction sum_b b*S_b via two Hillis-Steele suffix
-     passes (2*log2(B) fused jadd calls, identity-padded);
+     element of every bucket (dense (G, B) gather) and folds it into
+     (G, B) Jacobian accumulators with ONE fused masked mixed-add
+     kernel call — total work = ~n mixed adds per window, lane-parallel
+     across windows x buckets; accumulators stay in the packed
+     (L, 8, T) kernel layout across iterations;
+  4. weighted bucket reduction sum_b b*S_b via the split
+     b = hi*2^m + lo: row/column tree sums + two short suffix scans +
+     m fused doublings — O(B) adds instead of B*log(B);
   5. host window recombination (W points, ~255 cheap bigint doublings).
 
 Completeness: the fused kernels flag (instead of computing) the
@@ -38,6 +42,7 @@ import jax.numpy as jnp
 
 from ..fields.jaxfield import FR, FQ
 from ..fields.host import R
+from ..fields import pallas2
 from . import g1_jax as g1
 from . import host as cv
 from . import pallas_jac
@@ -48,108 +53,288 @@ FR_BITS = 255  # BLS12-381 Fr modulus bit length
 
 def pick_window(n: int) -> int:
     """Minimize W*(n + reduction): accumulation is ~n adds per window,
-    reduction 2*(c-1)*2^(c-1) adds per window."""
+    split reduction ~4*2^(c-1) adds per window."""
     best, best_cost = 8, None
     for c in range(6, 17):
-        W = -(-FR_BITS // c)
-        cost = W * (n + 2 * (c - 1) * (1 << (c - 1)))
+        W = _window_plan(c)[0]
+        cost = W * (n + 4 * (1 << (c - 1)))
         if best_cost is None or cost < best_cost:
             best, best_cost = c, cost
     return best
 
 
-def _num_windows(c: int) -> int:
+@functools.lru_cache(maxsize=None)
+def _window_plan(c: int):
+    """(W, H): window count and the signed-digit bias constant, chosen so
+    u = s + H < 2^(c*W) for all scalars s < 2^255."""
+    half = 1 << (c - 1)
     W = -(-FR_BITS // c)
-    # signed-digit carry out of the top window must vanish: the top
-    # window of (modulus-1) plus a carry has to stay below 2^(c-1)
-    top = (FR.modulus - 1) >> ((W - 1) * c)
-    if top + 1 >= 1 << (c - 1):
+    while True:
+        H = sum(half << (c * w) for w in range(W))
+        if (1 << FR_BITS) + H < 1 << (c * W):
+            return W, H
         W += 1
-    return W
+
+
+def _digits(coeffs, n: int, P: int, c: int):
+    """(L, P, n) Montgomery scalars -> bucket (G, n) u32 in [0, 2^(c-1)]
+    and sign (G, n) u32; G = P*W."""
+    W, H = _window_plan(c)
+    half = 1 << (c - 1)
+    G = P * W
+    L_ext = -(-(c * W) // 16) + 1
+
+    raw = FR.from_mont(coeffs)  # (16, P, n) 16-bit limbs
+    if L_ext > raw.shape[0]:
+        raw = jnp.concatenate(
+            [raw, jnp.zeros((L_ext - raw.shape[0], P, n), U32)], axis=0)
+    h_limbs = jnp.asarray(
+        np.array([(H >> (16 * k)) & 0xFFFF for k in range(L_ext)],
+                 dtype=np.uint32))
+
+    def step(carry, xs):
+        limb, h = xs
+        s = limb + h + carry
+        return s >> 16, s & 0xFFFF
+
+    _, u = jax.lax.scan(step, jnp.zeros((P, n), U32), (raw, h_limbs))
+
+    lo = np.array([(w * c) >> 4 for w in range(W)])
+    off = np.array([(w * c) & 15 for w in range(W)], dtype=np.uint32)
+    u_lo = u[lo]                     # (W, P, n)
+    u_hi = u[lo + 1]
+    d = ((u_lo | (u_hi << 16)) >> off[:, None, None]) & ((1 << c) - 1)
+    sign = d < half
+    bucket = jnp.where(sign, half - d, d - half)
+    # group-major layout: (P, W, n) -> (G, n)
+    bucket = bucket.transpose(1, 0, 2).reshape(G, n)
+    sign = sign.astype(U32).transpose(1, 0, 2).reshape(G, n)
+    return bucket, sign
+
+
+def _sort_plan(bucket, sign, half: int):
+    """argsort by bucket per group row; returns order, sorted sign,
+    bucket starts/ends (G, B)."""
+    order = jnp.argsort(bucket, axis=-1, stable=False)
+    sortedb = jnp.take_along_axis(bucket, order, axis=-1)
+    ssign = jnp.take_along_axis(sign, order, axis=-1)
+    bvals = jnp.arange(1, half + 1, dtype=U32)
+    starts = jax.vmap(
+        lambda row: jnp.searchsorted(row, bvals, side="left"))(sortedb)
+    ends = jax.vmap(
+        lambda row: jnp.searchsorted(row, bvals, side="right"))(sortedb)
+    return order, ssign, starts, ends
+
+
+# ---------------------------------------------------------------------------
+# Pallas path: packed accumulators, fused kernels, split reduction
+# ---------------------------------------------------------------------------
+
+def _msm_body_pallas(n, P, c, coeffs, px, py):
+    W, _H = _window_plan(c)
+    half = 1 << (c - 1)
+    B = half
+    G = P * W
+    Lq = FQ.L
+    blk = pallas2.BLOCK
+    S = pallas2.S_SUB
+    if B >= blk:
+        Gp = G
+    else:
+        gmul = blk // B
+        Gp = -(-G // gmul) * gmul
+    lanes = Gp * B
+    T = lanes // S
+    mk = pallas_jac._madd_kernel(False)
+    jk = pallas_jac._jadd_kernel(False)
+    dk = pallas_jac._jdbl_kernel(False)
+    # split B = HI * LO for the O(B) weighted reduction
+    m = (c - 1) // 2
+    LO = 1 << m
+    HI = B // LO
+
+    bucket, sign = _digits(coeffs, n, P, c)
+    order, ssign, starts, ends = _sort_plan(bucket, sign, half)
+
+    def pad_rows(x):
+        if Gp == G:
+            return x
+        return jnp.concatenate(
+            [x, jnp.zeros((Gp - G,) + x.shape[1:], x.dtype)], axis=0)
+
+    order_p = pad_rows(order)
+    ssign_p = pad_rows(ssign)
+    starts_p = pad_rows(starts)
+    ends_p = pad_rows(ends)
+    rounds = jnp.max(ends - starts).astype(jnp.int32)
+
+    def packT(x):
+        return x.reshape(x.shape[0], S, T)
+
+    zero3 = jnp.zeros((Lq, S, T), U32)
+    state = (jnp.int32(0), zero3, zero3, zero3, jnp.uint32(0))
+
+    def cond(st):
+        return st[0] < rounds
+
+    def body(st):
+        r, ax, ay, az, anom = st
+        idx = starts_p + r
+        valid = idx < ends_p
+        idxc = jnp.minimum(idx, n - 1)
+        pidx = jnp.take_along_axis(order_p, idxc, axis=-1)
+        sg = jnp.take_along_axis(ssign_p, idxc, axis=-1)
+        gx = packT(px[:, pidx].reshape(Lq, lanes))
+        gy = packT(py[:, pidx].reshape(Lq, lanes))
+        v = packT(valid.astype(U32).reshape(1, lanes))
+        sgp = packT(sg.reshape(1, lanes))
+        ax, ay, az, an = mk(ax, ay, az, gx, gy, v, sgp)
+        return r + 1, ax, ay, az, jnp.sum(an) + anom
+
+    _, ax, ay, az, anom = jax.lax.while_loop(cond, body, state)
+
+    # ---- reduction -------------------------------------------------------
+    def jadd_flat(p, q):
+        X = p[0].shape[1]
+        npad = pallas2.padded(X)
+        pp = [pallas2.pack(cc, npad) for cc in p]
+        qq = [pallas2.pack(cc, npad) for cc in q]
+        ox, oy, oz, an = jk(*pp, *qq)
+        return (tuple(pallas2.unpack(cc, X) for cc in (ox, oy, oz)),
+                jnp.sum(pallas2.unpack(an, X)))
+
+    def tree_last(tree, shape):
+        """Halving tree sum along the LAST axis of `shape`; leaves are
+        (L, prod(shape)). Returns leaves (L, prod(shape[:-1]))."""
+        w = shape[-1]
+        lead = 1
+        for d in shape[:-1]:
+            lead *= d
+        an_tot = jnp.uint32(0)
+        cur = tree
+        while w > 1:
+            h = w // 2
+            v = [cc.reshape(Lq, lead, w) for cc in cur]
+            p1 = tuple(cc[:, :, :h].reshape(Lq, lead * h) for cc in v)
+            p2 = tuple(cc[:, :, h:2 * h].reshape(Lq, lead * h) for cc in v)
+            cur, an = jadd_flat(p1, p2)
+            an_tot = an_tot + an
+            w = h
+        return cur, an_tot
+
+    def suffix_then_total(tree, lead, width):
+        """Suffix sums along last axis (HS) then total: returns
+        (sum_j suffix_j, suffix_0) as (L, lead) leaves."""
+        an_tot = jnp.uint32(0)
+        cur = tree
+        k = 1
+        while k < width:
+            v = [cc.reshape(Lq, lead, width) for cc in cur]
+            sh = tuple(jnp.concatenate(
+                [cc[:, :, k:], jnp.zeros((Lq, lead, k), U32)],
+                axis=-1).reshape(Lq, lead * width) for cc in v)
+            cur, an = jadd_flat(
+                tuple(cc.reshape(Lq, lead * width) for cc in v), sh)
+            an_tot = an_tot + an
+            k *= 2
+        suf0 = tuple(cc.reshape(Lq, lead, width)[:, :, 0] for cc in cur)
+        tot, an = tree_last(cur, (lead, width))
+        return tot, suf0, an_tot + an
+
+    flat = (ax.reshape(Lq, lanes), ay.reshape(Lq, lanes),
+            az.reshape(Lq, lanes))
+
+    # row sums over LO -> R (L, Gp*HI); suffix-weight over HI
+    Rsum, an1 = tree_last(flat, (Gp, HI, LO))
+    sufTR, T0, an2 = suffix_then_total(Rsum, Gp, HI)
+    # col sums over HI -> C (L, Gp*LO): transpose HI/LO axes first
+    v4 = [cc.reshape(Lq, Gp, HI, LO).transpose(0, 1, 3, 2)
+          .reshape(Lq, lanes) for cc in flat]
+    Csum, an3 = tree_last(tuple(v4), (Gp, LO, HI))
+    sufTC, _c0, an4 = suffix_then_total(Csum, Gp, LO)
+
+    # D = sufTR - T0 (point negation = negate y); RES = 2^m * D + sufTC
+    negT0 = (T0[0], FQ.neg(T0[1]), T0[2])
+    D, an5 = jadd_flat(sufTR, negT0)
+    for _ in range(m):
+        npad = pallas2.padded(Gp)
+        packed = [pallas2.pack(cc, npad) for cc in D]
+        dx, dy, dz = dk(*packed)
+        D = tuple(pallas2.unpack(cc, Gp) for cc in (dx, dy, dz))
+    RES, an6 = jadd_flat(D, sufTC)
+
+    anom = anom + an1 + an2 + an3 + an4 + an5 + an6
+    out = tuple(cc[:, :G] for cc in RES)
+    return out, anom
+
+
+# ---------------------------------------------------------------------------
+# jnp path (CPU tests / fallback): flat arrays, 2-pass suffix reduction
+# ---------------------------------------------------------------------------
+
+def _msm_body_jnp(n, P, c, coeffs, px, py):
+    W, _H = _window_plan(c)
+    half = 1 << (c - 1)
+    B = half
+    G = P * W
+    Lq = FQ.L
+
+    bucket, sign = _digits(coeffs, n, P, c)
+    order, ssign, starts, ends = _sort_plan(bucket, sign, half)
+    rounds = jnp.max(ends - starts).astype(jnp.int32)
+
+    zero3 = jnp.zeros((Lq, G * B), U32)
+    state = (jnp.int32(0), zero3, zero3, zero3, jnp.uint32(0))
+
+    def cond(st):
+        return st[0] < rounds
+
+    def body(st):
+        r, ax, ay, az, anom = st
+        idx = starts + r
+        valid = idx < ends
+        idxc = jnp.minimum(idx, n - 1)
+        pidx = jnp.take_along_axis(order, idxc, axis=-1)
+        sg = jnp.take_along_axis(ssign, idxc, axis=-1)
+        gx = px[:, pidx].reshape(Lq, G * B)
+        gy = py[:, pidx].reshape(Lq, G * B)
+        (ax, ay, az), a = pallas_jac.madd(
+            (ax, ay, az), gx, gy,
+            valid.reshape(-1).astype(U32), sg.reshape(-1))
+        return r + 1, ax, ay, az, anom + a
+
+    _, ax, ay, az, anom = jax.lax.while_loop(cond, body, state)
+
+    def suffix_pass(tree, anom):
+        for k in range(c - 1):
+            s = 1 << k
+            shifted = []
+            for cc in tree:
+                c3 = cc.reshape(Lq, G, B)
+                c3 = jnp.concatenate(
+                    [c3[:, :, s:], jnp.zeros((Lq, G, s), U32)], axis=-1)
+                shifted.append(c3.reshape(Lq, G * B))
+            tree, a = pallas_jac.jadd(tree, tuple(shifted))
+            anom = anom + a
+        return tree, anom
+
+    tree = (ax, ay, az)
+    tree, anom = suffix_pass(tree, anom)   # sfx[b] = sum_{j>=b} S_j
+    tree, anom = suffix_pass(tree, anom)   # [0]   = sum_b b*S_b
+    out = tuple(cc.reshape(Lq, G, B)[:, :, 0] for cc in tree)
+    return out, anom
 
 
 @functools.lru_cache(maxsize=None)
 def _msm_fn(n: int, P: int, c: int):
     """Jitted full-pipeline MSM: (L,P,n) Montgomery scalars + (L,n)
     affine point coords -> ((L,G) Jacobian window sums, anomaly count)."""
-    W = _num_windows(c)
-    G = P * W
-    half = 1 << (c - 1)
-    B = half
-    logB = c - 1
-    Lq = FQ.L
+    use_pl = pallas_jac.use_pallas()
 
     def fn(coeffs, px, py):
-        raw = FR.from_mont(coeffs)  # (16, P, n) 16-bit limbs
-        digits = []
-        for w in range(W):
-            bit = w * c
-            lo, off = bit >> 4, bit & 15
-            d = raw[lo] >> off
-            if off + c > 16 and lo + 1 < 16:
-                d = d | (raw[lo + 1] << (16 - off))
-            digits.append(d & (2 * half - 1))
-        carry = jnp.zeros_like(digits[0])
-        buckets, signs = [], []
-        for w in range(W):
-            t = digits[w] + carry
-            ge = t >= half
-            buckets.append(jnp.where(ge, 2 * half - t, t))
-            signs.append(ge.astype(U32))
-            carry = ge.astype(U32)
-        bucket = jnp.stack(buckets, axis=1).reshape(G, n)
-        sign = jnp.stack(signs, axis=1).reshape(G, n)
-
-        order = jnp.argsort(bucket, axis=-1, stable=False)
-        sortedb = jnp.take_along_axis(bucket, order, axis=-1)
-        sortedsign = jnp.take_along_axis(sign, order, axis=-1)
-        bvals = jnp.arange(1, half + 1, dtype=U32)
-        starts = jax.vmap(
-            lambda row: jnp.searchsorted(row, bvals, side="left"))(sortedb)
-        ends = jax.vmap(
-            lambda row: jnp.searchsorted(row, bvals, side="right"))(sortedb)
-        rounds = jnp.max(ends - starts).astype(jnp.int32)
-
-        zero3 = jnp.zeros((Lq, G * B), U32)
-        state = (jnp.int32(0), zero3, zero3, zero3, jnp.uint32(0))
-
-        def cond(st):
-            return st[0] < rounds
-
-        def body(st):
-            r, ax, ay, az, anom = st
-            idx = starts + r
-            valid = idx < ends
-            idxc = jnp.minimum(idx, n - 1)
-            pidx = jnp.take_along_axis(order, idxc, axis=-1)
-            sg = jnp.take_along_axis(sortedsign, idxc, axis=-1)
-            gx = px[:, pidx].reshape(Lq, G * B)
-            gy = py[:, pidx].reshape(Lq, G * B)
-            (ax, ay, az), a = pallas_jac.madd(
-                (ax, ay, az), gx, gy,
-                valid.reshape(-1).astype(U32), sg.reshape(-1))
-            return r + 1, ax, ay, az, anom + a
-
-        _, ax, ay, az, anom = jax.lax.while_loop(cond, body, state)
-
-        def suffix_pass(tree, anom):
-            for k in range(logB):
-                s = 1 << k
-                shifted = []
-                for cc in tree:
-                    c3 = cc.reshape(Lq, G, B)
-                    c3 = jnp.concatenate(
-                        [c3[:, :, s:], jnp.zeros((Lq, G, s), U32)], axis=-1)
-                    shifted.append(c3.reshape(Lq, G * B))
-                tree, a = pallas_jac.jadd(tree, tuple(shifted))
-                anom = anom + a
-            return tree, anom
-
-        tree = (ax, ay, az)
-        tree, anom = suffix_pass(tree, anom)   # sfx[b] = sum_{j>=b} S_j
-        tree, anom = suffix_pass(tree, anom)   # [0]   = sum_b b*S_b
-        out = tuple(cc.reshape(Lq, G, B)[:, :, 0] for cc in tree)
-        return out, anom
+        if use_pl:
+            return _msm_body_pallas(n, P, c, coeffs, px, py)
+        return _msm_body_jnp(n, P, c, coeffs, px, py)
 
     return jax.jit(fn)
 
@@ -175,7 +360,7 @@ class PippengerMSM:
         L, P, n = stack.shape
         assert n == self.n, (n, self.n)
         c = pick_window(n)
-        W = _num_windows(c)
+        W, _H = _window_plan(c)
         (wx, wy, wz), anom = _msm_fn(n, P, c)(stack, self.px, self.py)
         if int(jax.device_get(anom)) > 0:
             # equal-x anomaly (negligible probability): exact host fallback

@@ -136,6 +136,28 @@ def _madd_formulas(ax, ay, az, px, py, valid, sgn, f):
     return ox, oy, oz, anomaly.astype(U32)
 
 
+def _jdbl_formulas(x1, y1, z1, f):
+    """dbl-2009-l (a=0), identity-safe (Z=0 or Y=0 -> infinity)."""
+    a = f.mul(x1, x1)
+    b = f.mul(y1, y1)
+    c = f.mul(b, b)
+    t = f.add(x1, b)
+    t = f.mul(t, t)
+    d = f.add(f.sub(f.sub(t, a), c), f.sub(t, f.add(a, c)))
+    e = f.add(f.add(a, a), a)
+    ff = f.mul(e, e)
+    x3 = f.sub(ff, f.add(d, d))
+    c2 = f.add(c, c)
+    c4 = f.add(c2, c2)
+    c8 = f.add(c4, c4)
+    y3 = f.sub(f.mul(e, f.sub(d, x3)), c8)
+    z3 = f.mul(y1, z1)
+    z3 = f.add(z3, z3)
+    mask = f.is_zero(z1) | f.is_zero(y1)
+    z3 = jnp.where(mask, jnp.zeros_like(z3), z3)
+    return x3, y3, z3
+
+
 def _jadd_formulas(x1, y1, z1, x2, y2, z2, f):
     """add-2007-bl, complete except doubling (flagged as anomaly)."""
     z1z1 = f.mul(z1, z1)
@@ -256,6 +278,37 @@ def _jadd_kernel(interpret: bool):
     return call
 
 
+@functools.lru_cache(maxsize=None)
+def _jdbl_kernel(interpret: bool):
+    from jax.experimental import pallas as pl
+
+    ops = _TileOps()
+
+    def kernel(x1, y1, z1, ox, oy, oz):
+        rx, ry, rz = _jdbl_formulas(x1[...], y1[...], z1[...], ops)
+        ox[...] = rx
+        oy[...] = ry
+        oz[...] = rz
+
+    @jax.jit
+    def call(x1, y1, z1):
+        K = pallas2.LANES
+        S = pallas2.S_SUB
+        T = x1.shape[2]
+        val, _ = _specs()
+        shp = jax.ShapeDtypeStruct((L, S, T), U32)
+        return pl.pallas_call(
+            kernel,
+            out_shape=(shp, shp, shp),
+            grid=(T // K,),
+            in_specs=[val] * 3,
+            out_specs=(val, val, val),
+            interpret=interpret,
+        )(x1, y1, z1)
+
+    return call
+
+
 # ---------------------------------------------------------------------------
 # public ops on flat (L, n) arrays (packed/unpacked internally)
 # ---------------------------------------------------------------------------
@@ -296,3 +349,14 @@ def jadd(p, q, interpret: bool = False):
         return out, jnp.sum(pallas2.unpack(an, n))
     ox, oy, oz, an = _jadd_formulas(*p, *q, _JnpOps())
     return (ox, oy, oz), jnp.sum(an)
+
+
+def jdbl(p, interpret: bool = False):
+    """Jacobian doubling over flat (L, n) pytrees (complete)."""
+    n = p[0].shape[1]
+    if use_pallas() or interpret:
+        npad = pallas2.padded(n)
+        packed = [pallas2.pack(c, npad) for c in p]
+        ox, oy, oz = _jdbl_kernel(interpret)(*packed)
+        return tuple(pallas2.unpack(c, n) for c in (ox, oy, oz))
+    return _jdbl_formulas(*p, _JnpOps())

@@ -532,7 +532,6 @@ class DeviceProver:
         zeta_d = enc_scalar(zeta)
 
         ct_dev = _compress_fn(n)(dpk.table_cols, zeta_d)   # (L, n)
-        ct_host = FR.decode_fast(ct_dev)
 
         cw_dev = _compress_fn(n)(wire_evals[:, :4], zeta_d)
         q_lookup_padded = cs.q_lookup + [0] * (n - len(cs.q_lookup))
@@ -540,12 +539,14 @@ class DeviceProver:
         ct0 = ct_dev[:, :1]
         cf_dev = jnp.where(jnp.asarray(mask)[None, :], cw_dev,
                            jnp.broadcast_to(ct0, ct_dev.shape))
-        cf_host = FR.decode_fast(cf_dev)
 
-        h_1, h_2 = MultiSet(ct_host).combine_split(MultiSet(cf_host))
-        lookup_evals_dev = jnp.concatenate(
-            [ct_dev[:, None], cf_dev[:, None],
-             _enc_stack([h_1.elems, h_2.elems])], axis=1)  # [t, f, h1, h2]
+        from .device_lookup import combine_split_device
+        h1_dev, h2_dev, bad_flag = combine_split_device(ct_dev, cf_dev)
+        if bool(jax.device_get(bad_flag)):
+            from ..errors import ElementNotIndexed
+            raise ElementNotIndexed("lookup query element not in table")
+        lookup_evals_dev = jnp.stack(
+            [ct_dev, cf_dev, h1_dev, h2_dev], axis=1)  # [t, f, h1, h2]
         lookup_coeffs = _wire_intt_fn(n)(lookup_evals_dev)
         table_poly_dev = lookup_coeffs[:, 0]
         f_poly_dev = lookup_coeffs[:, 1]

@@ -55,9 +55,17 @@ def test_msm_batch():
         assert g == cv.msm_host(pts, p)
 
 
-def test_window_carry_guard():
-    # signed-digit carry out of the top window must be impossible
+def test_window_plan_invariant():
+    # the +H signed-digit bias must never overflow the window span
     for c in range(6, 17):
-        W = msm2._num_windows(c)
-        top = (FR.modulus - 1) >> ((W - 1) * c)
-        assert top + 1 < 1 << (c - 1)
+        W, H = msm2._window_plan(c)
+        assert (1 << 255) + H < 1 << (c * W)
+        # and digits reconstruct: sum (d_w - half) 2^(cw) == s
+        half = 1 << (c - 1)
+        for s in (0, 1, cv.R - 1, (1 << 255) - 1):
+            u = s + H
+            acc = 0
+            for w in range(W):
+                d = (u >> (c * w)) & ((1 << c) - 1)
+                acc += (d - half) << (c * w)
+            assert acc == s, (c, s)

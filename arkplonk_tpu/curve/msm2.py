@@ -410,3 +410,86 @@ class PippengerMSM:
 def msm_device(points, scalars):
     """One-shot device MSM (encodes points each call)."""
     return PippengerMSM(points).mul(scalars)
+
+
+class ShardedPippengerMSM:
+    """Mesh-sharded Pippenger: points partitioned across chips (SURVEY
+    §2.3.3 / BASELINE "points partitioned across chips, bucket sums
+    reduced across the mesh").
+
+    Each shard runs the FULL local pipeline (digits/sort/accumulate/
+    reduce) on its point slice under `shard_map` — no collectives inside,
+    so divergent per-shard round counts are fine; the (G, S) per-shard
+    window sums (a few dozen points per shard) come back and are reduced
+    host-side during window recombination."""
+
+    def __init__(self, mesh, points, axis: str = "x"):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        self.mesh = mesh
+        self.axis = axis
+        self.n = len(points)
+        self.shards = mesh.shape[axis]
+        assert self.n % self.shards == 0
+        self.n_local = self.n // self.shards
+        self.points_host = list(points)
+        px, py, _ = g1.encode_points(points)
+        sh = NamedSharding(mesh, P(None, axis))
+        self.px = jax.device_put(px, sh)
+        self.py = jax.device_put(py, sh)
+
+    @functools.lru_cache(maxsize=None)
+    def _fn(self, P_polys: int, c: int):
+        from jax.sharding import PartitionSpec as P
+        nl = self.n_local
+        use_pl = pallas_jac.use_pallas()
+
+        def local(stack, px, py):
+            body = _msm_body_pallas if use_pl else _msm_body_jnp
+            (wx, wy, wz), anom = body(nl, P_polys, c, stack, px, py)
+            return (wx[..., None], wy[..., None], wz[..., None],
+                    anom.reshape(1))
+
+        return jax.jit(jax.shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P(None, None, self.axis), P(None, self.axis),
+                      P(None, self.axis)),
+            out_specs=(P(None, None, self.axis), P(None, None, self.axis),
+                       P(None, None, self.axis), P(self.axis)),
+            check_vma=False))
+
+    def commit_mont_batch(self, coeffs_mont):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        Lr, Pp, n = coeffs_mont.shape
+        assert n == self.n
+        c = pick_window(self.n_local)
+        W, _H = _window_plan(c)
+        stack = jax.device_put(
+            coeffs_mont, NamedSharding(self.mesh, P(None, None, self.axis)))
+        wx, wy, wz, anom = self._fn(Pp, c)(stack, self.px, self.py)
+        if int(np.sum(jax.device_get(anom))) > 0:
+            out = []
+            for p_i in range(Pp):
+                scalars = FR.decode_fast(coeffs_mont[:, p_i])
+                from .host import msm_host
+                out.append(msm_host(self.points_host, scalars))
+            return out
+        S = self.shards
+        G = Pp * W
+        flat = tuple(cc.reshape(FQ.L, G * S) for cc in (wx, wy, wz))
+        pts = g1.decode_points(flat)  # index = g * S + s
+        out = []
+        for p_i in range(Pp):
+            acc = (1, 1, 0)
+            for w in range(W - 1, -1, -1):
+                for _ in range(c):
+                    acc = cv.jac_double(acc)
+                g_idx = p_i * W + w
+                for s_i in range(S):
+                    p = pts[g_idx * S + s_i]
+                    if p is not None:
+                        acc = cv.jac_add(acc, cv.jac_from_affine(p))
+            out.append(cv.jac_to_affine(acc))
+        return out
+
+    def commit_mont(self, coeffs_mont):
+        return self.commit_mont_batch(coeffs_mont[:, None, :])[0]

@@ -192,7 +192,7 @@ def _wire_intt_fn(n: int, mesh_axes=None):
 
 
 @functools.lru_cache(maxsize=None)
-def _compress_fn(n: int):
+def _compress_fn(n: int, mesh_axes=None):
     @jax.jit
     def f(cols, zeta):  # (L, 4, n), (L, 1)
         acc = cols[:, 3]
@@ -200,7 +200,40 @@ def _compress_fn(n: int):
             acc = FR.add(FR.mont_mul(acc, zeta), cols[:, k])
         return acc
 
-    return f
+    return _mesh_safe(f, mesh_axes)
+
+
+@functools.lru_cache(maxsize=None)
+def _query_fn(n: int, mesh_axes=None):
+    """Build the compressed query column f: wire compression where
+    q_lookup is set, else the table's first entry (prover.rs:252-275).
+    The t[0] broadcast is a masked reduction so it shards cleanly."""
+
+    @jax.jit
+    def f(cw, ct, mask):
+        iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+        ct0 = jnp.sum(jnp.where((iota == 0)[None, :], ct, 0),
+                      axis=-1, keepdims=True)
+        return jnp.where(mask[None, :], cw,
+                         jnp.broadcast_to(ct0, ct.shape))
+
+    return _mesh_safe(f, mesh_axes)
+
+
+@functools.lru_cache(maxsize=None)
+def _tsplit_fn(n: int, mesh_axes=None):
+    """(L, 4n) quotient coeffs -> (L, 4, n) t1..t4 chunks
+    (prover.rs:107-123 split_tx_poly), shard-safe."""
+
+    @jax.jit
+    def f(t):
+        if mesh_axes is None:
+            return t.reshape(FR.L, 4, n)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sh = NamedSharding(mesh_axes[0], P(None, None, mesh_axes[1]))
+        return jax.lax.reshape(t, (FR.L, 4, n), out_sharding=sh)
+
+    return _mesh_safe(f, mesh_axes)
 
 
 @functools.lru_cache(maxsize=None)
@@ -282,18 +315,29 @@ def _quotient_fn(n: int, mesh_axes=None):
     return _mesh_safe(f, mesh_axes)
 
 
+def _replicate(x, mesh_axes):
+    """Reshard onto every device (for cheap tail stages whose halving
+    reductions / flips don't divide the shard count)."""
+    if mesh_axes is None:
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    return jax.sharding.reshard(x, NamedSharding(mesh_axes[0], P()))
+
+
 @functools.lru_cache(maxsize=None)
-def _eval_stack_fn(n: int):
+def _eval_stack_fn(n: int, mesh_axes=None):
     @jax.jit
     def f(coeffs, z):  # (L, P, n), (L, 1) -> (L, P)
+        coeffs = _replicate(coeffs, mesh_axes)
+        z = _replicate(z, mesh_axes)
         zp = powers_of(z, n)
         return eval_polys(coeffs, zp)
 
-    return f
+    return _mesh_safe(f, mesh_axes)
 
 
 @functools.lru_cache(maxsize=None)
-def _lincomb_fn(n: int):
+def _lincomb_fn(n: int, mesh_axes=None):
     @jax.jit
     def f(coeffs, scalars):  # (L, P, n) x (L, P, 1) -> (L, n)
         prod = FR.mont_mul(coeffs, scalars)
@@ -302,13 +346,16 @@ def _lincomb_fn(n: int):
             acc = FR.add(acc, prod[:, i])
         return acc
 
-    return f
+    return _mesh_safe(f, mesh_axes)
 
 
 @functools.lru_cache(maxsize=None)
-def _open_fn(n: int):
+def _open_fn(n: int, mesh_axes=None):
     @jax.jit
     def f(polys, chi, z):  # (L, P, n), (L,1), (L,1) -> witness coeffs (L, n)
+        polys = _replicate(polys, mesh_axes)
+        chi = _replicate(chi, mesh_axes)
+        z = _replicate(z, mesh_axes)
         P = polys.shape[1]
         agg = polys[:, P - 1]
         for i in range(P - 2, -1, -1):
@@ -319,7 +366,7 @@ def _open_fn(n: int):
         q = divide_by_linear(agg, z)
         return jnp.concatenate([q, jnp.zeros((FR.L, 1), U32)], axis=1)
 
-    return f
+    return _mesh_safe(f, mesh_axes)
 
 
 # ---------------------------------------------------------------------------
@@ -409,12 +456,20 @@ class DeviceProver:
     """Drop-in replacement for proving.prover.Prover with device cores.
 
     Shares the host Prover's composer/transcript/preprocess; overrides the
-    numeric pipeline of prove_with_preprocessed."""
+    numeric pipeline of prove_with_preprocessed.
 
-    def __init__(self, label: bytes, rng=None, msm=None):
+    `mesh`: an optional jax.sharding.Mesh — the full 5-round pipeline
+    then runs with every evaluation-domain axis sharded over it
+    (SURVEY §2.3 / §5.7-5.8): NTT gathers lower to collectives, grand
+    products to distributed scans, and commitments to the point-sharded
+    Pippenger with per-shard window sums."""
+
+    def __init__(self, label: bytes, rng=None, msm=None, mesh=None):
         from .prover import Prover
         self._host = Prover(label, rng=rng, msm=msm)
         self.msm = msm
+        self.mesh = mesh
+        self.mesh_axes = (mesh, "x") if mesh is not None else None
         self.device_pk = None
 
     @property
@@ -441,10 +496,21 @@ class DeviceProver:
         if self._host.prover_key is not None or self.device_pk is not None:
             raise ValueError("circuit already preprocessed")
         n = self._host.cs.circuit_bound()
-        msm = self.msm if self.msm is not None else make_device_msm(
-            srs.g1[:n])
+        if self.msm is not None:
+            msm = self.msm
+        elif self.mesh is not None:
+            from ..curve.msm2 import ShardedPippengerMSM
+            msm = ShardedPippengerMSM(self.mesh, srs.g1[:n])
+        else:
+            msm = make_device_msm(srs.g1[:n])
         dpk, vk = device_preprocess(
             self._host.cs, srs, self._host.preprocessed_transcript, msm)
+        if self.mesh is not None:
+            from ..mesh import sharding as ms
+            for attr in ("sel_coeffs", "sel4", "sig_coeffs", "sig4",
+                         "sigma_lagrange", "table_cols"):
+                setattr(dpk, attr,
+                        ms.put_sharded(self.mesh, getattr(dpk, attr)))
         self.device_pk = dpk
         self._host.verifier_key = vk
         return dpk
@@ -486,6 +552,14 @@ class DeviceProver:
         cs = self._host.cs
         hd = host.Domain(cs.circuit_bound())
         n = hd.size
+        ma = self.mesh_axes
+
+        def shard(x):
+            if ma is None:
+                return x
+            from ..mesh import sharding as ms
+            return ms.put_sharded(ma[0], x)
+
         transcript = self._host.preprocessed_transcript.clone()
         transcript.append_pi(b"pi", pi_mod.to_bytes(cs.public_inputs))
 
@@ -496,14 +570,22 @@ class DeviceProver:
             return commit_batch([coeff_arr])[0]
 
         def commit_batch(coeff_arrs):
-            """Commit several (L, n) coeff arrays in ONE batched MSM call.
-            Always padded to P=4 so a single compiled executable serves
-            every commitment in the prove (zero poly -> identity -> None,
-            matching kzg.commit's None convention)."""
+            """Commit several (L, n) coeff arrays (or a prepared
+            (L, P, n) stack) in ONE batched MSM call.  Always padded to
+            P=4 so a single compiled executable serves every commitment
+            in the prove (zero poly -> identity -> None, matching
+            kzg.commit's None convention)."""
             if dpk.msm is None:
+                if not isinstance(coeff_arrs, list):
+                    coeff_arrs = [coeff_arrs[:, i]
+                                  for i in range(coeff_arrs.shape[1])]
                 return [commit(_dec_stack(a)) for a in coeff_arrs]
-            P = len(coeff_arrs)
-            stack = jnp.stack(coeff_arrs, axis=1)
+            if isinstance(coeff_arrs, list):
+                P = len(coeff_arrs)
+                stack = jnp.stack(coeff_arrs, axis=1)
+            else:
+                stack = coeff_arrs
+                P = stack.shape[1]
             if P < 4:
                 stack = jnp.concatenate(
                     [stack, jnp.zeros((FR.L, 4 - P, n), U32)], axis=1)
@@ -517,8 +599,8 @@ class DeviceProver:
         w_scalars = [[cs.variables[v] for v in w] + pad
                      for w in (cs.w_l, cs.w_r, cs.w_o, cs.w_4)]
         pi_evals = pi_mod.as_evals(cs.public_inputs, n)
-        wire_evals = _enc_stack(w_scalars + [pi_evals])  # (L, 5, n)
-        wire_coeffs5 = _wire_intt_fn(n)(wire_evals)
+        wire_evals = shard(_enc_stack(w_scalars + [pi_evals]))  # (L, 5, n)
+        wire_coeffs5 = _wire_intt_fn(n, ma)(wire_evals)
         wire_coeffs = wire_coeffs5[:, :4]
         pi_poly_dev = wire_coeffs5[:, 4]
         w_comms = commit_batch([wire_coeffs[:, i] for i in range(4)])
@@ -531,23 +613,21 @@ class DeviceProver:
         transcript.append_fr(b"zeta", zeta)
         zeta_d = enc_scalar(zeta)
 
-        ct_dev = _compress_fn(n)(dpk.table_cols, zeta_d)   # (L, n)
+        ct_dev = _compress_fn(n, ma)(dpk.table_cols, zeta_d)   # (L, n)
 
-        cw_dev = _compress_fn(n)(wire_evals[:, :4], zeta_d)
+        cw_dev = _compress_fn(n, ma)(wire_evals[:, :4], zeta_d)
         q_lookup_padded = cs.q_lookup + [0] * (n - len(cs.q_lookup))
         mask = np.array([q % R != 0 for q in q_lookup_padded])
-        ct0 = ct_dev[:, :1]
-        cf_dev = jnp.where(jnp.asarray(mask)[None, :], cw_dev,
-                           jnp.broadcast_to(ct0, ct_dev.shape))
+        cf_dev = _query_fn(n, ma)(cw_dev, ct_dev, shard(jnp.asarray(mask)))
 
         from .device_lookup import combine_split_device
-        h1_dev, h2_dev, bad_flag = combine_split_device(ct_dev, cf_dev)
+        h1_dev, h2_dev, bad_flag = combine_split_device(ct_dev, cf_dev, ma)
         if bool(jax.device_get(bad_flag)):
             from ..errors import ElementNotIndexed
             raise ElementNotIndexed("lookup query element not in table")
         lookup_evals_dev = jnp.stack(
             [ct_dev, cf_dev, h1_dev, h2_dev], axis=1)  # [t, f, h1, h2]
-        lookup_coeffs = _wire_intt_fn(n)(lookup_evals_dev)
+        lookup_coeffs = _wire_intt_fn(n, ma)(lookup_evals_dev)
         table_poly_dev = lookup_coeffs[:, 0]
         f_poly_dev = lookup_coeffs[:, 1]
         h1_poly_dev = lookup_coeffs[:, 2]
@@ -570,9 +650,9 @@ class DeviceProver:
         transcript.append_fr(b"epsilon", epsilon)
         assert len({beta, gamma, delta, epsilon}) == 4
 
-        z_poly_dev = _z_poly_fn(n)(wire_evals[:, :4], dpk.sigma_lagrange,
+        z_poly_dev = _z_poly_fn(n, ma)(wire_evals[:, :4], dpk.sigma_lagrange,
                                    enc_scalar(beta), enc_scalar(gamma))
-        z2_poly_dev = _z2_poly_fn(n)(cf_dev, ct_dev,
+        z2_poly_dev = _z2_poly_fn(n, ma)(cf_dev, ct_dev,
                                      lookup_evals_dev[:, 2],
                                      lookup_evals_dev[:, 3],
                                      enc_scalar(delta), enc_scalar(epsilon))
@@ -608,9 +688,9 @@ class DeviceProver:
             [enc_scalar(x) for x in
              (alpha, beta, gamma, delta, epsilon, zeta, range_ch, logic_ch,
               fixed_ch, var_ch, lookup_ch)], axis=1)
-        t_coeffs = _quotient_fn(n)(dpk.sel4, dpk.sig4, polys_n, chal_stack)
-        t_comms = commit_batch([t_coeffs[:, k * n:(k + 1) * n]
-                                for k in range(4)])
+        t_coeffs = _quotient_fn(n, ma)(dpk.sel4, dpk.sig4, polys_n, chal_stack)
+        t_stack = _tsplit_fn(n, ma)(t_coeffs)  # (L, 4, n)
+        t_comms = commit_batch(t_stack)
         for lbl, cm in zip([b"t_1", b"t_2", b"t_3", b"t_4"], t_comms):
             transcript.append_g1(lbl, cm)
 
@@ -633,7 +713,7 @@ class DeviceProver:
             f_poly_dev[:, None], h1_poly_dev[:, None], h2_poly_dev[:, None],
             table_poly_dev[:, None]], axis=1)
         _mark("r5: build z_stack")
-        evz = FR.decode_fast(_eval_stack_fn(n)(z_stack,
+        evz = FR.decode_fast(_eval_stack_fn(n, ma)(z_stack,
                                                enc_scalar(z_challenge)))
         _mark("r5: eval@z + decode")
         (a_eval, b_eval, c_eval, d_eval, sig1_eval, sig2_eval, sig3_eval,
@@ -644,7 +724,7 @@ class DeviceProver:
             [z_poly_dev, wire_coeffs[:, 0], wire_coeffs[:, 1],
              wire_coeffs[:, 3], h1_poly_dev, z2_poly_dev, table_poly_dev],
             axis=1)
-        evzw = FR.decode_fast(_eval_stack_fn(n)(zw_stack,
+        evzw = FR.decode_fast(_eval_stack_fn(n, ma)(zw_stack,
                                                 enc_scalar(shifted_z)))
         _mark("r5: eval@zw + decode")
         (perm_eval, a_next_eval, b_next_eval, d_next_eval, h1_next_eval,
@@ -728,14 +808,14 @@ class DeviceProver:
             z_poly_dev[:, None],                  # z (combined scalar)
             dpk.sig_coeffs[:, 3][:, None],        # fourth sigma
             h1_poly_dev[:, None], z2_poly_dev[:, None],
-            t_coeffs.reshape(FR.L, 4, n)], axis=1)
+            t_stack], axis=1)
         order = SELECTOR_NAMES
         lin_scalars = [scalars[nme] if nme != "q_lookup"
                        else scalars["q_lookup_lin"] for nme in order]
         lin_scalars += [z_scalar, sig4_scalar, h1_scalar, z2_scalar,
                         t1_s, t2_s, t3_s, t4_s]
         lin_scalar_dev = _enc_stack([[s] for s in lin_scalars])
-        lin_poly_dev = _lincomb_fn(n)(lin_stack, lin_scalar_dev)
+        lin_poly_dev = _lincomb_fn(n, ma)(lin_stack, lin_scalar_dev)
         _mark("r5: linearisation")
 
         # transcript: evaluations
@@ -765,13 +845,13 @@ class DeviceProver:
             lin_poly_dev[:, None], dpk.sig_coeffs[:, 0:3],
             f_poly_dev[:, None], h2_poly_dev[:, None],
             table_poly_dev[:, None], wire_coeffs], axis=1)
-        aw_w = _open_fn(n)(aw_stack, enc_scalar(aw_challenge),
+        aw_w = _open_fn(n, ma)(aw_stack, enc_scalar(aw_challenge),
                            enc_scalar(z_challenge))
         saw_stack = jnp.stack(
             [z_poly_dev, wire_coeffs[:, 0], wire_coeffs[:, 1],
              wire_coeffs[:, 3], h1_poly_dev, z2_poly_dev, table_poly_dev],
             axis=1)
-        saw_w = _open_fn(n)(saw_stack, enc_scalar(saw_challenge),
+        saw_w = _open_fn(n, ma)(saw_stack, enc_scalar(saw_challenge),
                             enc_scalar(shifted_z))
         aw_c, saw_c = commit_batch([aw_w, saw_w])
         aw_opening = kzg.OpeningProof(aw_c)

@@ -35,11 +35,19 @@ U32 = jnp.uint32
 
 
 @functools.lru_cache(maxsize=None)
-def _combine_split_fn(n: int):
+def _combine_split_fn(n: int, mesh_axes=None):
     L = FR.L
 
     @jax.jit
     def f(t, fq):  # (L, n) Montgomery evals each
+        if mesh_axes is not None:
+            # the dual sort is gather-heavy; run it replicated (the XLA
+            # partitioner would all-gather for the sort anyway) and let
+            # the caller reshard the outputs
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            rep = NamedSharding(mesh_axes[0], P())
+            t = jax.sharding.reshard(t, rep)
+            fq = jax.sharding.reshard(fq, rep)
         V = jnp.concatenate([t, fq], axis=1)           # (L, 2n)
         tpos = jnp.concatenate(
             [jnp.arange(n, dtype=U32), jnp.full((n,), 2 * n, U32)])
@@ -65,12 +73,18 @@ def _combine_split_fn(n: int):
         ops2 = (ranks,) + tuple(Vs[i] for i in range(L))
         sorted2 = jax.lax.sort(ops2, num_keys=1)
         S = jnp.stack(sorted2[1:])                     # (L, 2n)
-        return S[:, 0::2], S[:, 1::2], bad
+        h1, h2 = S[:, 0::2], S[:, 1::2]
+        if mesh_axes is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sh = NamedSharding(mesh_axes[0], P(None, mesh_axes[1]))
+            h1 = jax.sharding.reshard(h1, sh)
+            h2 = jax.sharding.reshard(h2, sh)
+        return h1, h2, bad
 
     return f
 
 
-def combine_split_device(t_dev, f_dev):
+def combine_split_device(t_dev, f_dev, mesh_axes=None):
     """(h1, h2, bad_flag) device arrays for (L, n) t/f eval arrays."""
     n = t_dev.shape[1]
-    return _combine_split_fn(n)(t_dev, f_dev)
+    return _combine_split_fn(n, mesh_axes)(t_dev, f_dev)

@@ -76,6 +76,14 @@ class StandardComposer:
         # before the zero witness is actually created.
         self.zero_var = 0
         self.zero_var = self.add_witness_to_circuit_description(0)
+
+    @classmethod
+    def with_expected_size(cls, expected_size: int, rng=None):
+        """Capacity-hint constructor (composer.rs:202).  Python lists grow
+        amortized-O(1), so the hint is recorded but needs no prealloc."""
+        cs = cls(rng=rng)
+        cs.expected_size = expected_size
+        return cs
         # Blinding rows (composer.rs:241-243)
         self.add_blinding_factors()
 

@@ -18,10 +18,44 @@ from __future__ import annotations
 
 import hashlib
 import os
-import pickle
+import struct
 
 from ..fields.host import R, fr_inv
 from ..curve import host as cv
+
+_SRS_MAGIC = b"ARKPLONK-SRS\x01"
+
+
+def _write_srs(path, g1, h, beta_h):
+    """Raw little-endian binary (48-byte Fq limbs), not pickle: stable,
+    inspectable, and safe to load (SURVEY §5.4 artifact plan)."""
+    with open(path + ".tmp", "wb") as f:
+        f.write(_SRS_MAGIC)
+        f.write(struct.pack("<Q", len(g1)))
+        for x, y in g1:
+            f.write(x.to_bytes(48, "little"))
+            f.write(y.to_bytes(48, "little"))
+        for pt in (h, beta_h):
+            (xc0, xc1), (yc0, yc1) = pt
+            for v in (xc0, xc1, yc0, yc1):
+                f.write(v.to_bytes(48, "little"))
+    os.replace(path + ".tmp", path)
+
+
+def _read_srs(path):
+    with open(path, "rb") as f:
+        assert f.read(len(_SRS_MAGIC)) == _SRS_MAGIC, "bad SRS file"
+        (count,) = struct.unpack("<Q", f.read(8))
+        g1 = []
+        for _ in range(count):
+            x = int.from_bytes(f.read(48), "little")
+            y = int.from_bytes(f.read(48), "little")
+            g1.append((x, y))
+        pts = []
+        for _ in range(2):
+            vals = [int.from_bytes(f.read(48), "little") for _ in range(4)]
+            pts.append(((vals[0], vals[1]), (vals[2], vals[3])))
+    return g1, pts[0], pts[1]
 
 
 class SRS:
@@ -54,17 +88,14 @@ class SRS:
             cache_dir = os.path.join(os.path.dirname(__file__), "_srs_cache")
         os.makedirs(cache_dir, exist_ok=True)
         key = hashlib.sha256(seed + str(max_degree).encode()).hexdigest()[:16]
-        path = os.path.join(cache_dir, f"srs_{key}_{max_degree}.pkl")
+        path = os.path.join(cache_dir, f"srs_{key}_{max_degree}.srs")
         if os.path.exists(path):
-            with open(path, "rb") as f:
-                g1, h, beta_h = pickle.load(f)
-            return SRS(g1, h, beta_h)
+            return SRS(*_read_srs(path))
         tau = int.from_bytes(hashlib.sha512(seed).digest(), "little") % R
         g1 = _fixed_base_powers(cv.G1_GEN, tau, max_degree + 1)
         h = cv.G2_GEN
         beta_h = cv.G2.mul(h, tau)
-        with open(path, "wb") as f:
-            pickle.dump((g1, h, beta_h), f)
+        _write_srs(path, g1, h, beta_h)
         return SRS(g1, h, beta_h)
 
 

@@ -51,6 +51,37 @@ U32 = jnp.uint32
 FR_BITS = 255  # BLS12-381 Fr modulus bit length
 
 
+def decode_raw_jacobian(wx, wy, wz):
+    """Host numpy (L, G) RAW (non-Montgomery) limb arrays -> affine
+    points (None = infinity), one shared batch inversion."""
+    from ..fields.host import Q, fq_inv
+    from ..fields.limb import limbs_to_vec
+    X = limbs_to_vec(np.asarray(wx))
+    Y = limbs_to_vec(np.asarray(wy))
+    Z = limbs_to_vec(np.asarray(wz))
+    nz = [z for z in Z if z != 0]
+    inv = {}
+    if nz:
+        prefix = [1]
+        for z in nz:
+            prefix.append(prefix[-1] * z % Q)
+        t = fq_inv(prefix[-1])
+        for i in range(len(nz) - 1, -1, -1):
+            inv[i] = prefix[i] * t % Q
+            t = t * nz[i] % Q
+    out = []
+    j = 0
+    for x, y, z in zip(X, Y, Z):
+        if z == 0:
+            out.append(None)
+        else:
+            zi = inv[j]
+            j += 1
+            zi2 = zi * zi % Q
+            out.append((x * zi2 % Q, y * zi2 * zi % Q))
+    return out
+
+
 def pick_window(n: int) -> int:
     """Minimize W*(n + reduction): accumulation is ~n adds per window,
     split reduction ~4*2^(c-1) adds per window."""
@@ -264,7 +295,9 @@ def _msm_body_pallas(n, P, c, coeffs, px, py):
     RES, an6 = jadd_flat(D, sufTC)
 
     anom = anom + an1 + an2 + an3 + an4 + an5 + an6
-    out = tuple(cc[:, :G] for cc in RES)
+    # raw (non-Montgomery) limbs so the host needs NO extra device call
+    # to decode the window sums (sync latency is ~28 ms on the tunnel)
+    out = tuple(FQ.from_mont(cc[:, :G]) for cc in RES)
     return out, anom
 
 
@@ -321,7 +354,8 @@ def _msm_body_jnp(n, P, c, coeffs, px, py):
     tree = (ax, ay, az)
     tree, anom = suffix_pass(tree, anom)   # sfx[b] = sum_{j>=b} S_j
     tree, anom = suffix_pass(tree, anom)   # [0]   = sum_b b*S_b
-    out = tuple(cc.reshape(Lq, G, B)[:, :, 0] for cc in tree)
+    out = tuple(FQ.from_mont(cc.reshape(Lq, G, B)[:, :, 0])
+                for cc in tree)
     return out, anom
 
 
@@ -361,11 +395,13 @@ class PippengerMSM:
         assert n == self.n, (n, self.n)
         c = pick_window(n)
         W, _H = _window_plan(c)
-        (wx, wy, wz), anom = _msm_fn(n, P, c)(stack, self.px, self.py)
-        if int(jax.device_get(anom)) > 0:
+        outs = _msm_fn(n, P, c)(stack, self.px, self.py)
+        # ONE host fetch for window sums + anomaly flag
+        ((wx, wy, wz), anom) = jax.device_get(outs)
+        if int(anom) > 0:
             # equal-x anomaly (negligible probability): exact host fallback
             return self._host_fallback(stack)
-        pts = g1.decode_points((wx, wy, wz))  # G = P*W points
+        pts = decode_raw_jacobian(wx, wy, wz)  # G = P*W points
         out = []
         for p_i in range(P):
             acc = (1, 1, 0)
@@ -465,8 +501,9 @@ class ShardedPippengerMSM:
         W, _H = _window_plan(c)
         stack = jax.device_put(
             coeffs_mont, NamedSharding(self.mesh, P(None, None, self.axis)))
-        wx, wy, wz, anom = self._fn(Pp, c)(stack, self.px, self.py)
-        if int(np.sum(jax.device_get(anom))) > 0:
+        outs = self._fn(Pp, c)(stack, self.px, self.py)
+        wx, wy, wz, anom = jax.device_get(outs)  # one host fetch
+        if int(np.sum(anom)) > 0:
             out = []
             for p_i in range(Pp):
                 scalars = FR.decode_fast(coeffs_mont[:, p_i])
@@ -475,8 +512,9 @@ class ShardedPippengerMSM:
             return out
         S = self.shards
         G = Pp * W
-        flat = tuple(cc.reshape(FQ.L, G * S) for cc in (wx, wy, wz))
-        pts = g1.decode_points(flat)  # index = g * S + s
+        pts = decode_raw_jacobian(
+            wx.reshape(FQ.L, G * S), wy.reshape(FQ.L, G * S),
+            wz.reshape(FQ.L, G * S))  # index = g * S + s
         out = []
         for p_i in range(Pp):
             acc = (1, 1, 0)

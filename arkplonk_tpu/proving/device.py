@@ -337,6 +337,25 @@ def _eval_stack_fn(n: int, mesh_axes=None):
 
 
 @functools.lru_cache(maxsize=None)
+def _eval_both_fn(n: int, mesh_axes=None):
+    """Round-5 evaluation stacks at z AND z*omega in ONE dispatch,
+    returning RAW limbs (host decodes with no further device calls —
+    each sync costs ~28 ms on the tunnel backend)."""
+
+    @jax.jit
+    def f(z_stack, zw_stack, z, zw):
+        z_stack = _replicate(z_stack, mesh_axes)
+        zw_stack = _replicate(zw_stack, mesh_axes)
+        z = _replicate(z, mesh_axes)
+        zw = _replicate(zw, mesh_axes)
+        evz = eval_polys(z_stack, powers_of(z, n))
+        evzw = eval_polys(zw_stack, powers_of(zw, n))
+        return FR.from_mont(evz), FR.from_mont(evzw)
+
+    return _mesh_safe(f, mesh_axes)
+
+
+@functools.lru_cache(maxsize=None)
 def _lincomb_fn(n: int, mesh_axes=None):
     @jax.jit
     def f(coeffs, scalars):  # (L, P, n) x (L, P, 1) -> (L, n)
@@ -712,21 +731,21 @@ class DeviceProver:
             dpk.sel_coeffs[:, sel_idx["q_r"]][:, None],
             f_poly_dev[:, None], h1_poly_dev[:, None], h2_poly_dev[:, None],
             table_poly_dev[:, None]], axis=1)
-        _mark("r5: build z_stack")
-        evz = FR.decode_fast(_eval_stack_fn(n, ma)(z_stack,
-                                               enc_scalar(z_challenge)))
-        _mark("r5: eval@z + decode")
-        (a_eval, b_eval, c_eval, d_eval, sig1_eval, sig2_eval, sig3_eval,
-         q_arith_eval, q_lookup_eval, q_c_eval, q_l_eval, q_r_eval,
-         f_eval, h1_eval, h2_eval, table_eval) = evz
-
         zw_stack = jnp.stack(
             [z_poly_dev, wire_coeffs[:, 0], wire_coeffs[:, 1],
              wire_coeffs[:, 3], h1_poly_dev, z2_poly_dev, table_poly_dev],
             axis=1)
-        evzw = FR.decode_fast(_eval_stack_fn(n, ma)(zw_stack,
-                                                enc_scalar(shifted_z)))
-        _mark("r5: eval@zw + decode")
+        _mark("r5: build stacks")
+        evz_raw, evzw_raw = jax.device_get(_eval_both_fn(n, ma)(
+            z_stack, zw_stack, enc_scalar(z_challenge),
+            enc_scalar(shifted_z)))
+        from ..fields.limb import limbs_to_vec
+        evz = limbs_to_vec(np.asarray(evz_raw))
+        evzw = limbs_to_vec(np.asarray(evzw_raw))
+        _mark("r5: eval@z,zw + decode")
+        (a_eval, b_eval, c_eval, d_eval, sig1_eval, sig2_eval, sig3_eval,
+         q_arith_eval, q_lookup_eval, q_c_eval, q_l_eval, q_r_eval,
+         f_eval, h1_eval, h2_eval, table_eval) = evz
         (perm_eval, a_next_eval, b_next_eval, d_next_eval, h1_next_eval,
          z2_next_eval, table_next_eval) = evzw
 

@@ -1,30 +1,36 @@
-"""Benchmark driver: PLONK prove wall time on the bench circuit.
+"""Benchmark driver: PLONK compile/prove/verify vs the reference.
 
-Mirrors the reference criterion benchmark (benches/plonk.rs:26-68): a dummy
-arith+lookup circuit padded to 2^k, KZG10 on BLS12-381.  Runs the device
-(TPU) prover; prints ONE JSON line:
+Mirrors the reference criterion benchmark (benches/plonk.rs:26-169): a
+dummy arith+lookup circuit padded to 2^k, KZG10 on BLS12-381.  Runs the
+device (TPU) prover; prints ONE JSON line:
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
 
 vs_baseline = reference prove time at the same size on the Ryzen 7 3700X
 (BASELINE.md) divided by ours, i.e. >1.0 means faster than the reference.
 
 Environment knobs:
-  BENCH_LOG2N   circuit size exponent (default 12; first prove includes
-                ~3-4 min of served XLA-TPU compile in this sandbox)
+  BENCH_LOG2N   headline circuit size exponent (default 12)
+  BENCH_SWEEP   comma list of extra exponents to sweep (e.g. "10,12,14");
+                per-size results + counters land in BENCH_SWEEP.json
   BENCH_BACKEND "device" (default) or "host"
+  BENCH_ITERS   steady-state prove iterations per size (default 2)
 """
 
 import json
 import os
 import random
-import sys
 import time
 
 
-REFERENCE_PROVE_MS = {
-    5: 16.208, 6: 21.712, 7: 29.545, 8: 49.039, 9: 72.533, 10: 130.71,
-    11: 247.74, 12: 459.45, 13: 781.89, 14: 1482.4, 15: 2868.2,
-    16: 5476.6, 17: 10118.0, 18: 20184.0,
+REFERENCE_MS = {
+    # log2n: (compile_ms, prove_ms, verify_ms) — BASELINE.md source A
+    5: (17.669, 16.208, 5.556), 6: (22.702, 21.712, 5.546),
+    7: (29.653, 29.545, 5.600), 8: (47.556, 49.039, 5.576),
+    9: (65.786, 72.533, 5.565), 10: (97.514, 130.71, 5.583),
+    11: (168.17, 247.74, 5.558), 12: (314.65, 459.45, 5.608),
+    13: (527.63, 781.89, 5.666), 14: (1025.3, 1482.4, 5.619),
+    15: (2008.8, 2868.2, 5.624), 16: (3784.6, 5476.6, 6.132),
+    17: (6752.3, 10118.0, 6.590), 18: (13613.0, 20184.0, 8.148),
 }
 
 
@@ -35,26 +41,16 @@ def build_bench_circuit(cs, size):
         cs.add_dummy_constraints()
 
 
-def main():
-    log2n = int(os.environ.get("BENCH_LOG2N", "12"))
-    backend = os.environ.get("BENCH_BACKEND", "device")
-    n = 1 << log2n
-
-    import jax
-
-    from arkplonk_tpu.pcs import kzg
+def bench_size(log2n: int, backend: str, srs, iters: int):
     from arkplonk_tpu.proving.prover import Prover
     from arkplonk_tpu.proving.device import DeviceProver
     from arkplonk_tpu.api.circuit import Verifier
 
+    n = 1 << log2n
     rng = random.Random(7)
 
     def det_rng():
         return rng.randrange(0, 1 << 255)
-
-    t0 = time.time()
-    srs = kzg.SRS.setup(n + 8)
-    t_srs = time.time() - t0
 
     cls = DeviceProver if backend == "device" else Prover
     prover = cls(b"ark", rng=det_rng)
@@ -63,21 +59,23 @@ def main():
     prover.preprocess(srs)
     t_compile = time.time() - t0
 
-    # proof 1: includes XLA compilation; proof 2: steady-state
+    pk = prover.device_pk if backend == "device" else prover.prover_key
     pis = dict(prover.cs.public_inputs)
     t0 = time.time()
-    proof = prover.prove_with_preprocessed(
-        srs, prover.device_pk if backend == "device" else prover.prover_key)
+    proof = prover.prove_with_preprocessed(srs, pk)
     t_first = time.time() - t0
 
-    prover.clear_witness()
-    build_bench_circuit(prover.cs, n)
-    t0 = time.time()
-    proof = prover.prove_with_preprocessed(
-        srs, prover.device_pk if backend == "device" else prover.prover_key)
-    t_prove = time.time() - t0
+    times = []
+    for _ in range(iters):
+        prover.clear_witness()
+        build_bench_circuit(prover.cs, n)
+        t0 = time.time()
+        proof = prover.prove_with_preprocessed(srs, pk)
+        times.append(time.time() - t0)
+    t_prove = min(times)
 
-    # verify (host)
+    # verifier key from the prover's preprocess (device path keeps the
+    # host verifier-side preprocess out of the timing)
     verifier = Verifier(b"ark", rng=det_rng)
     build_bench_circuit(verifier.cs, n)
     verifier.preprocess(srs)
@@ -86,23 +84,99 @@ def main():
     t_verify = time.time() - t0
     assert ok, "bench proof failed to verify"
 
-    ref_ms = REFERENCE_PROVE_MS.get(log2n)
-    vs = (ref_ms / 1000.0) / t_prove if ref_ms else 0.0
-    result = {
-        "metric": f"plonk_prove_2e{log2n}",
-        "value": round(t_prove, 4),
-        "unit": "s",
-        "vs_baseline": round(vs, 4),
-        "detail": {
-            "backend": backend,
-            "srs_s": round(t_srs, 2),
-            "preprocess_s": round(t_compile, 2),
-            "first_prove_s": round(t_first, 2),
-            "verify_s": round(t_verify, 3),
-            "platform": jax.devices()[0].platform,
-        },
+    ref = REFERENCE_MS.get(log2n)
+    return {
+        "log2n": log2n,
+        "compile_s": round(t_compile, 3),
+        "first_prove_s": round(t_first, 3),
+        "prove_s": round(t_prove, 4),
+        "verify_s": round(t_verify, 4),
+        "vs_ref_compile": round(ref[0] / 1000 / t_compile, 3) if ref else None,
+        "vs_ref_prove": round(ref[1] / 1000 / t_prove, 3) if ref else None,
+        "vs_ref_verify": round(ref[2] / 1000 / t_verify, 3) if ref else None,
     }
-    print(json.dumps(result))
+
+
+def counters():
+    """MSM/NTT/field throughput counters vs speed-of-light (BASELINE)."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    from arkplonk_tpu import perf
+    from arkplonk_tpu.fields.jaxfield import FR, FQ
+    from arkplonk_tpu.poly import ntt
+
+    out = {}
+    n = 1 << 18
+    rng = np.random.default_rng(0)
+
+    def rand(F, n):
+        vals = [int.from_bytes(rng.bytes(48), "little") % F.modulus
+                for _ in range(1024)]
+        arr = np.asarray(F.encode(vals))
+        return jnp.asarray(np.tile(arr, (1, n // 1024)))
+
+    for name, F in (("fr", FR), ("fq", FQ)):
+        a, b = rand(F, n), rand(F, n)
+        f = jax.jit(F.mont_mul)
+        dt = perf.timeit_chain(f, a, b, iters=5)
+        out[f"{name}_modmul_Mps"] = round(n / dt / 1e6, 1)
+
+    dd = ntt.get_device_domain(n)
+    x = rand(FR, n)
+    f = jax.jit(lambda x: ntt.ntt(x, dd))
+    dt = perf.timeit_chain(lambda a, x: f(x), None, x, iters=5)
+    out["ntt_2e18_ms"] = round(dt * 1e3, 2)
+    # speed-of-light context: VPU ~3.8G vreg-ops/s; Fr mul ~3 vreg-ops/
+    # elem, Fq ~7 (schoolbook 16-bit REDC at full sublane utilization)
+    out["fr_modmul_sol_Mps"] = 1250.0
+    out["fq_modmul_sol_Mps"] = 540.0
+    return out
+
+
+def main():
+    log2n = int(os.environ.get("BENCH_LOG2N", "12"))
+    backend = os.environ.get("BENCH_BACKEND", "device")
+    iters = int(os.environ.get("BENCH_ITERS", "2"))
+    sweep = [int(x) for x in os.environ.get("BENCH_SWEEP", "").split(",")
+             if x.strip()]
+    sizes = sorted(set(sweep + [log2n]))
+
+    import jax
+    from arkplonk_tpu.pcs import kzg
+
+    t0 = time.time()
+    srs = kzg.SRS.setup((1 << max(sizes)) + 8)
+    t_srs = time.time() - t0
+
+    results = {}
+    for lg in sizes:
+        results[lg] = bench_size(lg, backend, srs, iters)
+
+    detail = {
+        "backend": backend,
+        "srs_s": round(t_srs, 2),
+        "platform": jax.devices()[0].platform,
+        "sizes": results,
+    }
+    if os.environ.get("BENCH_COUNTERS", "1") not in ("0", ""):
+        try:
+            detail["counters"] = counters()
+        except Exception as e:  # counters must never sink the bench
+            detail["counters_error"] = repr(e)
+
+    if sweep:
+        with open("BENCH_SWEEP.json", "w") as f:
+            json.dump(detail, f, indent=1)
+
+    head = results[log2n]
+    print(json.dumps({
+        "metric": f"plonk_prove_2e{log2n}",
+        "value": head["prove_s"],
+        "unit": "s",
+        "vs_baseline": head["vs_ref_prove"],
+        "detail": detail,
+    }))
 
 
 if __name__ == "__main__":

@@ -8,10 +8,10 @@ roots-of-unity subgroup, nor may k_i / k_j for i != j.
 
 from __future__ import annotations
 
-from ..fields.host import R, fr_inv
+from ..fields.host import C, R, fr_inv
 from .composer import K1, K2, K3
 
-TWO_ADICITY = 32
+TWO_ADICITY = C.FR_TWO_ADICITY  # 32 (BLS12-381) / 47 (BLS12-377)
 
 
 def check_coset_constants(ks=(K1, K2, K3), max_log: int = TWO_ADICITY):

@@ -7,7 +7,7 @@ Curve: -x^2 + y^2 = 1 + d x^2 y^2 over Fr.
 
 from __future__ import annotations
 
-from ..fields import bls12_381 as C
+from ..fields.host import C
 from ..fields.host import R, fr_inv
 
 A = C.JUBJUB_A

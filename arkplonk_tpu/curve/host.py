@@ -7,16 +7,18 @@ Per SURVEY.md §7.3 the pairing stays on host: only 2 pairings per
 verification.  The prover-side heavy G1 work has a device path in
 `curve/g1_jax.py`; this module is the golden reference for it.
 
-Conventions:
+Conventions (tower constants come from the active curve module, so the
+same code serves BLS12-381 (u^2=-1, xi=u+1, M-twist) and BLS12-377
+(u^2=-5, xi=u, D-twist)):
 - G1/G2 affine points are `(x, y)` tuples; the identity is `None`.
-- Fq2 elements are `(c0, c1)` with u^2 = -1.
-- Fq6 elements are 3-tuples of Fq2 with v^3 = xi = u+1.
+- Fq2 elements are `(c0, c1)` with u^2 = NR (C.FQ2_NONRESIDUE).
+- Fq6 elements are 3-tuples of Fq2 with v^3 = xi = (C.XI_C0, C.XI_C1).
 - Fq12 elements are 2-tuples of Fq6 with w^2 = v.
 """
 
 from __future__ import annotations
 
-from ..fields import bls12_381 as C
+from ..fields.host import C
 from ..fields.host import Q, R, fq_inv, sqrt_mod
 
 # ---------------------------------------------------------------------------
@@ -25,7 +27,8 @@ from ..fields.host import Q, R, fq_inv, sqrt_mod
 
 F2_ZERO = (0, 0)
 F2_ONE = (1, 0)
-XI = (1, 1)  # u + 1, the sextic twist constant
+NR = C.FQ2_NONRESIDUE % Q  # u^2 = NR
+XI = (C.XI_C0, C.XI_C1)    # the sextic twist constant
 
 
 def f2_add(a, b):
@@ -41,11 +44,11 @@ def f2_neg(a):
 
 
 def f2_mul(a, b):
-    # (a0 + a1 u)(b0 + b1 u) = a0b0 - a1b1 + (a0b1 + a1b0) u
+    # (a0 + a1 u)(b0 + b1 u) = a0b0 + NR*a1b1 + (a0b1 + a1b0) u
     t0 = a[0] * b[0] % Q
     t1 = a[1] * b[1] % Q
     t2 = (a[0] + a[1]) * (b[0] + b[1]) % Q
-    return ((t0 - t1) % Q, (t2 - t0 - t1) % Q)
+    return ((t0 + NR * t1) % Q, (t2 - t0 - t1) % Q)
 
 
 def f2_sqr(a):
@@ -61,8 +64,8 @@ def f2_conj(a):
 
 
 def f2_inv(a):
-    # 1/(a0 + a1 u) = (a0 - a1 u)/(a0^2 + a1^2)
-    d = (a[0] * a[0] + a[1] * a[1]) % Q
+    # 1/(a0 + a1 u) = (a0 - a1 u)/(a0^2 - NR*a1^2)
+    d = (a[0] * a[0] - NR * a[1] * a[1]) % Q
     di = fq_inv(d)
     return (a[0] * di % Q, (-a[1]) * di % Q)
 
@@ -83,12 +86,12 @@ def f2_sqrt(a):
         s = sqrt_mod(a0, Q)
         if s is not None:
             return (s, 0)
-        # sqrt of a0 * u^-2 ... a = a0 = (t u)^2 => t^2 = -a0
-        t = sqrt_mod((-a0) % Q, Q)
+        # a = a0 = (t u)^2 = NR t^2  =>  t^2 = a0/NR
+        t = sqrt_mod(a0 * fq_inv(NR) % Q, Q)
         assert t is not None
         return (0, t)
-    # norm N = a0^2 + a1^2 must be a QR in Fq
-    n = (a0 * a0 + a1 * a1) % Q
+    # norm N = a0^2 - NR*a1^2 must be a QR in Fq
+    n = (a0 * a0 - NR * a1 * a1) % Q
     sn = sqrt_mod(n, Q)
     if sn is None:
         return None
@@ -430,16 +433,22 @@ def msm_host(points, scalars, window: int = 8):
 # ---------------------------------------------------------------------------
 
 def untwist(q):
-    """Map a G2 point on E'(Fq2): y^2=x^3+4*xi to E(Fq12): Y^2=X^3+4.
+    """Map a G2 point on the twist E'(Fq2) to E(Fq12): Y^2 = X^3 + b.
 
-    X = (x/xi) v^2 ; Y = (y/xi) v w   (derivation: with w^2 = v, v^3 = xi,
-    X = x/w^2, Y = y/w^3 satisfies Y^2 = X^3 + 4 iff y^2 = x^3 + 4 xi)."""
+    M-twist (E': y^2 = x^3 + b*xi, BLS12-381):  psi(x,y) = (x/w^2, y/w^3)
+      = ((x/xi) v^2, (y/xi) v w)   since w^2 = v, v^3 = xi.
+    D-twist (E': y^2 = x^3 + b/xi, BLS12-377):  psi(x,y) = (x*w^2, y*w^3)
+      = (x v, (y v) w):  Y^2 - X^3 = xi*(y^2 - x^3) = xi*b/xi = b."""
     if q is None:
         return None
     x, y = q
-    xi_inv = f2_inv(XI)
-    X = (F2_ZERO, F2_ZERO, f2_mul(x, xi_inv))  # Fq6: c2 coefficient
-    Y6 = (F2_ZERO, f2_mul(y, xi_inv), F2_ZERO)  # Fq6: c1 coefficient (times v)
+    if C.TWIST == "M":
+        xi_inv = f2_inv(XI)
+        X = (F2_ZERO, F2_ZERO, f2_mul(x, xi_inv))   # (x/xi) v^2
+        Y6 = (F2_ZERO, f2_mul(y, xi_inv), F2_ZERO)  # (y/xi) v (times w)
+    else:
+        X = (F2_ZERO, x, F2_ZERO)                   # x v
+        Y6 = (F2_ZERO, y, F2_ZERO)                  # y v (times w)
     return ((X, F6_ZERO), (F6_ZERO, Y6))  # (X in Fq12, Y = (...)*w)
 
 

@@ -71,6 +71,9 @@ def load():
 def available() -> bool:
     if os.environ.get("ARKPLONK_NATIVE_PAIRING", "1") in ("0", "false"):
         return False
+    from ..fields.host import CURVE
+    if CURVE != "bls12_381":
+        return False  # the C core hardwires the BLS12-381 modulus/tower
     return load() is not None
 
 

@@ -19,6 +19,13 @@ FR_TWO_ADIC_ROOT = pow(FR_GENERATOR, (R_MOD - 1) >> FR_TWO_ADICITY, R_MOD)
 # --- Base field Fq ---------------------------------------------------------
 Q_MOD = 0x1A0111EA397FE69A4B1BA7B6434BACD764774B84F38512BF6730D2A0F6B0F6241EABFFFEB153FFFFB9FEFFFFFFFFAAAB
 
+# --- Tower -----------------------------------------------------------------
+# Fq2 = Fq[u]/(u^2 - FQ2_NONRESIDUE); Fq6 = Fq2[v]/(v^3 - XI); Fq12 = Fq6[w]/(w^2 - v)
+FQ2_NONRESIDUE = Q_MOD - 1          # u^2 = -1
+XI_C0, XI_C1 = 1, 1                 # xi = u + 1
+# G2 twist: E'/Fq2 : y^2 = x^3 + b*xi  (M-type)
+TWIST = "M"
+
 # --- G1 --------------------------------------------------------------------
 G1_X = 0x17F1D3A73197D7942695638C4FA9AC0FC3688C4F9774B905A14E3A3F171BAC586C55E83FF97A1AEFFB3AF00ADB22C6BB
 G1_Y = 0x08B3F481E3AAA0F1A09E30ED741D8AE4FCF5E095D5D00AF600DB18CB2C04B3EDD03CC744A2888AE40CAA232946C5E7E1

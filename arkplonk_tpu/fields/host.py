@@ -10,7 +10,15 @@ Plays the role the `ark-ff::PrimeField` trait plays for the reference
 
 from __future__ import annotations
 
-from . import bls12_381 as C
+import os
+
+CURVE = os.environ.get("ARKPLONK_CURVE", "bls12_381")
+if CURVE == "bls12_381":
+    from . import bls12_381 as C
+elif CURVE == "bls12_377":
+    from . import bls12_377 as C
+else:  # pragma: no cover
+    raise ValueError(f"unknown ARKPLONK_CURVE {CURVE!r}")
 
 R = C.R_MOD
 Q = C.Q_MOD

@@ -20,7 +20,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from . import bls12_381 as C
+from .host import C
 from .limb import W, MASK, n_limbs, to_limbs, vec_to_limbs, from_limbs, limbs_to_vec
 
 U32 = jnp.uint32

@@ -87,7 +87,9 @@ class SRS:
         if cache_dir is None:
             cache_dir = os.path.join(os.path.dirname(__file__), "_srs_cache")
         os.makedirs(cache_dir, exist_ok=True)
-        key = hashlib.sha256(seed + str(max_degree).encode()).hexdigest()[:16]
+        from ..fields.host import CURVE
+        key = hashlib.sha256(
+            seed + CURVE.encode() + str(max_degree).encode()).hexdigest()[:16]
         path = os.path.join(cache_dir, f"srs_{key}_{max_degree}.srs")
         if os.path.exists(path):
             return SRS(*_read_srs(path))

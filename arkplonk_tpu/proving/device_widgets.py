@@ -8,7 +8,7 @@ coset domain on the TPU VPU in one fused pass.
 from __future__ import annotations
 
 from ..fields.fview import Fv
-from ..fields import bls12_381 as C
+from ..fields.host import C
 
 COEFF_A = C.JUBJUB_A
 COEFF_D = C.JUBJUB_D

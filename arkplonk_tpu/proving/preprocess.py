@@ -11,7 +11,8 @@ from __future__ import annotations
 
 from ..fields import host
 from ..fields.host import R, batch_inv
-from ..fields.bls12_381 import FR_GENERATOR
+from ..fields.host import C as _C
+FR_GENERATOR = _C.FR_GENERATOR
 from ..poly import ntt
 from ..pcs import kzg
 from . import permutation as perm_mod

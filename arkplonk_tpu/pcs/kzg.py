@@ -126,11 +126,38 @@ def _fixed_base_powers(g, tau: int, count: int):
                 acc = cv.jac_add(acc, tables[w][d])
         return acc
 
-    out = []
+    jac = []
     t = 1
     for _ in range(count):
-        out.append(cv.jac_to_affine(mul(t)))
+        jac.append(mul(t))
         t = t * tau % R
+    return _batch_to_affine(jac)
+
+
+def _batch_to_affine(jac_points):
+    """Jacobian -> affine with ONE shared inversion (Montgomery trick);
+    the per-point `jac_to_affine` inversion dominates SRS generation at
+    2^18 otherwise."""
+    from ..fields.host import Q, fq_inv
+    zs = [p[2] for p in jac_points if p[2] != 0]
+    prefix = [1]
+    for z in zs:
+        prefix.append(prefix[-1] * z % Q)
+    t = fq_inv(prefix[-1]) if zs else 1
+    inv = [0] * len(zs)
+    for i in range(len(zs) - 1, -1, -1):
+        inv[i] = prefix[i] * t % Q
+        t = t * zs[i] % Q
+    out = []
+    j = 0
+    for x, y, z in jac_points:
+        if z == 0:
+            out.append(None)
+        else:
+            zi = inv[j]
+            j += 1
+            zi2 = zi * zi % Q
+            out.append((x * zi2 % Q, y * zi2 % Q * zi % Q))
     return out
 
 

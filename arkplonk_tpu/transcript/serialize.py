@@ -7,10 +7,19 @@ Byte layout re-implemented here:
 - Field element Fp: little-endian bytes of the plain (non-Montgomery)
   integer; 32 bytes for Fr, 48 for Fq.
 - G1 affine compressed: x as Fq (48 B LE) with flag bits OR'ed into the
-  most-significant byte: bit7 = y-is-positive (y > -y), bit6 = infinity
-  (with x serialized as zero).
+  most-significant byte: bit7 = y-is-NEGATIVE (y <= -y), bit6 = infinity
+  (with x serialized as zero).  This is ark-serialize v0.3 `SWFlags`
+  (`u8_bitmask`: Infinity -> 1<<6, NegativeY -> 1<<7, PositiveY -> 0;
+  `from_u8` rejects bit7|bit6 together so infinity has one encoding),
+  with "positive" = `y > -y` on canonical integers
+  (`GroupAffine::serialize` uses `SWFlags::from_y_sign(self.y > -self.y)`).
 - G2 affine compressed: x in Fq2 serialized as c0 then c1, flags on the last
-  byte of c1.
+  byte of c1; the Fq2 sign comparison is lexicographic (c1, then c0).
+
+No arkworks binary exists in this sandbox (no Rust toolchain, zero
+egress), so these conventions cannot be cross-executed; they are locked
+instead by tests/test_ark_serialize.py golden vectors derived from the
+documented v0.3 algorithm and exact curve arithmetic.
 """
 
 from __future__ import annotations
@@ -39,8 +48,8 @@ def fq_to_bytes(x: int, flags: int = 0) -> bytes:
     return bytes(b)
 
 
-FLAG_INFINITY = 1 << 6
-FLAG_POSITIVE_Y = 1 << 7
+FLAG_INFINITY = 1 << 6   # SWFlags::Infinity  (ark-serialize 0.3)
+FLAG_NEGATIVE_Y = 1 << 7  # SWFlags::NegativeY (bit set when y <= -y)
 
 
 def _y_is_positive(y: int, mod: int) -> bool:
@@ -52,7 +61,7 @@ def g1_to_bytes(p) -> bytes:
     if p is None:
         return fq_to_bytes(0, FLAG_INFINITY)
     x, y = p
-    flags = FLAG_POSITIVE_Y if _y_is_positive(y % Q, Q) else 0
+    flags = 0 if _y_is_positive(y % Q, Q) else FLAG_NEGATIVE_Y
     return fq_to_bytes(x, flags)
 
 
@@ -60,15 +69,18 @@ def g1_from_bytes(b: bytes):
     raw = bytearray(b)
     flags = raw[-1] & 0xC0
     raw[-1] &= 0x3F
+    if (flags & FLAG_INFINITY) and (flags & FLAG_NEGATIVE_Y):
+        # SWFlags::from_u8 rejects this combination (one encoding only)
+        raise ValueError("invalid point flags")
     x = int.from_bytes(raw, "little")
     if flags & FLAG_INFINITY:
         return None
-    rhs = (x * x % Q * x + 4) % Q
-    from ..fields.host import sqrt_mod
+    from ..fields.host import C, sqrt_mod
+    rhs = (x * x % Q * x + C.G1_B) % Q
     y = sqrt_mod(rhs, Q)
     if y is None:
         raise ValueError("x not on curve")
-    if _y_is_positive(y, Q) != bool(flags & FLAG_POSITIVE_Y):
+    if _y_is_positive(y, Q) == bool(flags & FLAG_NEGATIVE_Y):
         y = Q - y
     return (x, y)
 
@@ -83,7 +95,7 @@ def g2_to_bytes(p) -> bytes:
         pos = _y_is_positive(y1, Q)
     else:
         pos = _y_is_positive(y0, Q)
-    flags = FLAG_POSITIVE_Y if pos else 0
+    flags = 0 if pos else FLAG_NEGATIVE_Y
     return fq_to_bytes(x0) + fq_to_bytes(x1, flags)
 
 
@@ -92,6 +104,8 @@ def g2_from_bytes(b: bytes):
     raw1 = bytearray(b[FQ_BYTES:])
     flags = raw1[-1] & 0xC0
     raw1[-1] &= 0x3F
+    if (flags & FLAG_INFINITY) and (flags & FLAG_NEGATIVE_Y):
+        raise ValueError("invalid point flags")
     x = (int.from_bytes(raw0, "little"), int.from_bytes(raw1, "little"))
     if flags & FLAG_INFINITY:
         return None
@@ -101,6 +115,6 @@ def g2_from_bytes(b: bytes):
         raise ValueError("x not on twist")
     y0, y1 = y
     pos = _y_is_positive(y1, Q) if y1 != 0 else _y_is_positive(y0, Q)
-    if pos != bool(flags & FLAG_POSITIVE_Y):
+    if pos == bool(flags & FLAG_NEGATIVE_Y):
         y = cv.f2_neg(y)
     return (x, y)

@@ -44,7 +44,6 @@ def build_bench_circuit(cs, size):
 def bench_size(log2n: int, backend: str, srs, iters: int):
     from arkplonk_tpu.proving.prover import Prover
     from arkplonk_tpu.proving.device import DeviceProver
-    from arkplonk_tpu.api.circuit import Verifier
 
     n = 1 << log2n
     rng = random.Random(7)
@@ -74,13 +73,15 @@ def bench_size(log2n: int, backend: str, srs, iters: int):
         times.append(time.time() - t0)
     t_prove = min(times)
 
-    # verifier key from the prover's preprocess (device path keeps the
-    # host verifier-side preprocess out of the timing)
-    verifier = Verifier(b"ark", rng=det_rng)
-    build_bench_circuit(verifier.cs, n)
-    verifier.preprocess(srs)
+    # Verify against the VerifierKey the prover's preprocess produced
+    # (the device preprocess computes it; redoing the verifier-side
+    # preprocess on host would dominate wall time at large n).
+    vk = prover._host.verifier_key if backend == "device" \
+        else prover.verifier_key
+    vtranscript = prover._host.preprocessed_transcript.clone() \
+        if backend == "device" else prover.preprocessed_transcript.clone()
     t0 = time.time()
-    ok = verifier.verify(proof, srs, pis)
+    ok = proof.verify(vk, vtranscript, srs, pis)
     t_verify = time.time() - t0
     assert ok, "bench proof failed to verify"
 

@@ -82,6 +82,32 @@ def decode_raw_jacobian(wx, wy, wz):
     return out
 
 
+def recombine_windows(pts, P: int, W: int, c: int):
+    """Window recombination: out[p] = sum_w 2^(c*w) * pts[p*W + w].
+
+    Native C double-and-add when available (~1 ms), else host bigint
+    Horner (~20 ms for P=4) — the only host point math left per commit."""
+    from . import native_pairing
+    if native_pairing.available():
+        out = []
+        weights = [pow(2, c * w, cv.R) for w in range(W)]
+        for p_i in range(P):
+            out.append(native_pairing.g1_msm(
+                pts[p_i * W:(p_i + 1) * W], weights))
+        return out
+    out = []
+    for p_i in range(P):
+        acc = (1, 1, 0)
+        for w in range(W - 1, -1, -1):
+            for _ in range(c):
+                acc = cv.jac_double(acc)
+            s = pts[p_i * W + w]
+            if s is not None:
+                acc = cv.jac_add(acc, cv.jac_from_affine(s))
+        out.append(cv.jac_to_affine(acc))
+    return out
+
+
 def pick_window(n: int) -> int:
     """Minimize W*(n + reduction): accumulation is ~n adds per window,
     split reduction ~4*2^(c-1) adds per window."""
@@ -402,17 +428,7 @@ class PippengerMSM:
             # equal-x anomaly (negligible probability): exact host fallback
             return self._host_fallback(stack)
         pts = decode_raw_jacobian(wx, wy, wz)  # G = P*W points
-        out = []
-        for p_i in range(P):
-            acc = (1, 1, 0)
-            for w in range(W - 1, -1, -1):
-                for _ in range(c):
-                    acc = cv.jac_double(acc)
-                s = pts[p_i * W + w]
-                if s is not None:
-                    acc = cv.jac_add(acc, cv.jac_from_affine(s))
-            out.append(cv.jac_to_affine(acc))
-        return out
+        return recombine_windows(pts, P, W, c)
 
     def _host_fallback(self, stack):
         from .host import msm_host

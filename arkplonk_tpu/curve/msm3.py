@@ -1,0 +1,392 @@
+"""Device Pippenger MSM v3: chunked streaming accumulation.
+
+v2 (msm2.py) launched one fused madd kernel per bucket *round* (~40-100
+launches per MSM) plus ~25 reduction launches; on the tunneled TPU every
+Mosaic launch costs ~1.5-5 ms, so launch overhead dominated at small n.
+v3 keeps v2's math (signed digits via the carry-free +H trick, argsort
+bucket plan, masked mixed-adds, weighted suffix reduction — reference
+algorithm: arkworks `VariableBaseMSM`, plonk-core/src/commitment.rs:36-47)
+and restructures the data flow:
+
+  1. points live row-major `(n, 2L)` on device — one gathered point is
+     192 contiguous bytes instead of 48 strided 1-element reads;
+  2. bucket rounds are processed in chunks of Kc: ONE XLA gather per
+     chunk and ONE Mosaic kernel launch that fori_loops the Kc masked
+     mixed-adds with accumulators resident in VMEM (grid is over lane
+     blocks; the round axis is innermost so each lane block's
+     accumulator block stays in VMEM across its whole chunk);
+  3. the outer chunk loop is a `lax.while_loop` bounded by the DYNAMIC
+     max bucket occupancy (no static worst-case padding);
+  4. when the full (G*B) accumulator fits VMEM, the whole weighted
+     reduction sum_b b*S_b runs as ONE kernel (double suffix-sum with
+     lane rolls and bucket-boundary masks); larger sizes fall back to
+     the v2 XLA jadd ladder.
+
+Interfaces match msm2.PippengerMSM (commit_mont / commit_mont_batch /
+mul) so the fused round programs can swap bodies.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..fields.jaxfield import FR, FQ
+from ..fields.host import R
+from ..fields import pallas2
+from . import g1_jax as g1
+from . import host as cv
+from . import pallas_jac
+from . import msm2
+from .msm2 import (_window_plan, pick_window, _digits,
+                   decode_raw_jacobian, recombine_windows)
+
+U32 = jnp.uint32
+Lq = FQ.L
+KC = 8                       # bucket rounds per gather/launch chunk
+VMEM_LANE_LIMIT = 40960      # full-reduction kernel cutoff (acc <= ~12MB)
+
+
+# ---------------------------------------------------------------------------
+# sort plan (packed single-operand key when it fits 32 bits)
+# ---------------------------------------------------------------------------
+
+def _sort_plan(bucket, sign, half: int, n: int):
+    """Returns (order, ssign, starts, ends) like msm2._sort_plan but
+    sorts ONE packed u32 key (bucket << log2n | index) when bucket and
+    index bits fit — a single-operand sort is much cheaper than the
+    variadic (key, payload) form."""
+    idx_bits = max(1, (n - 1).bit_length())
+    bkt_bits = half.bit_length()
+    G = bucket.shape[0]
+    if idx_bits + bkt_bits <= 32:
+        iota = jax.lax.broadcasted_iota(U32, (G, n), 1)
+        packed = (bucket << idx_bits) | iota
+        skey = jax.lax.sort(packed, dimension=-1)
+        order = skey & ((1 << idx_bits) - 1)
+        sortedb = skey >> idx_bits
+        ssign = jnp.take_along_axis(sign, order, axis=-1)
+    else:
+        order = jnp.argsort(bucket, axis=-1, stable=False)
+        sortedb = jnp.take_along_axis(bucket, order, axis=-1)
+        ssign = jnp.take_along_axis(sign, order, axis=-1)
+    bvals = jnp.arange(1, half + 1, dtype=U32)
+    starts = jax.vmap(
+        lambda row: jnp.searchsorted(row, bvals, side="left"))(sortedb)
+    ends = jax.vmap(
+        lambda row: jnp.searchsorted(row, bvals, side="right"))(sortedb)
+    return order, ssign, starts, ends
+
+
+# ---------------------------------------------------------------------------
+# chunked accumulate kernel
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _accum_kernel(kc: int, interpret: bool):
+    """(acc3, pts(kc, 2L, S, T), mask(kc, 1, S, T)) -> acc3', anom.
+
+    Grid (T/LANES, kc): for a fixed lane block the kc rounds run on
+    consecutive grid steps, so the accumulator output block stays
+    resident in VMEM; pts blocks stream through the Mosaic pipeline
+    (auto double-buffered).  mask bit0 = valid, bit1 = sign."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ops = pallas_jac._TileOps()
+    S, K = pallas2.S_SUB, pallas2.LANES
+
+    def kernel(ax, ay, az, pts, msk, ox, oy, oz, anom):
+        r = pl.program_id(1)
+
+        @pl.when(r == 0)
+        def _():
+            ox[...] = ax[...]
+            oy[...] = ay[...]
+            oz[...] = az[...]
+            anom[...] = jnp.zeros_like(anom)
+
+        m = msk[0]
+        valid = (m & 1).astype(U32)
+        sgn = (m >> 1).astype(U32)
+        rx, ry, rz, an = pallas_jac._madd_formulas(
+            ox[...], oy[...], oz[...], pts[0, :Lq], pts[0, Lq:],
+            valid, sgn, ops)
+        ox[...] = rx
+        oy[...] = ry
+        oz[...] = rz
+        anom[...] = anom[...] + an
+
+    @jax.jit
+    def call(ax, ay, az, pts, msk):
+        T = ax.shape[2]
+        val = pl.BlockSpec((Lq, S, K), lambda i, r: (0, 0, i),
+                           memory_space=pltpu.VMEM)
+        mko = pl.BlockSpec((1, S, K), lambda i, r: (0, 0, i),
+                           memory_space=pltpu.VMEM)
+        pspec = pl.BlockSpec((1, 2 * Lq, S, K), lambda i, r: (r, 0, 0, i),
+                             memory_space=pltpu.VMEM)
+        mspec = pl.BlockSpec((1, 1, S, K), lambda i, r: (r, 0, 0, i),
+                             memory_space=pltpu.VMEM)
+        shp = jax.ShapeDtypeStruct((Lq, S, T), U32)
+        mshp = jax.ShapeDtypeStruct((1, S, T), U32)
+        return pl.pallas_call(
+            kernel,
+            out_shape=(shp, shp, shp, mshp),
+            grid=(T // K, kc),
+            in_specs=[val, val, val, pspec, mspec],
+            out_specs=(val, val, val, mko),
+            interpret=interpret,
+        )(ax, ay, az, pts, msk)
+
+    return call
+
+
+@functools.lru_cache(maxsize=None)
+def _wreduce_kernel(B: int, Kred: int, interpret: bool):
+    """One-launch weighted bucket reduction: two suffix-sum passes along
+    the bucket axis, result at each group's bucket-0 lane.
+
+    sfx1[b] = sum_{j>=b} S_j; sfx2 of sfx1 at the first lane of each
+    bucket block = sum_j j*S_j.  Packed layout invariant: flat lane
+    index = s*T + t, bucket blocks of B consecutive flat lanes; with
+    B | Kred and B | T every bucket block sits inside one sublane row of
+    one grid block, so the suffix shift is a lane roll whose wrapped
+    positions are exactly the masked (infinity) shift-ins."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ops = pallas_jac._TileOps()
+    S = pallas2.S_SUB
+
+    def kernel(ax, ay, az, ox, oy, oz, anom):
+        x, y, z = ax[...], ay[...], az[...]
+        an_tot = jnp.zeros((1, S, Kred), U32)
+        tloc = jax.lax.broadcasted_iota(jnp.int32, (1, S, Kred), 2)
+
+        def suffix(x, y, z, an_tot):
+            d = 1
+            while d < B:
+                # left-shift by d == roll forward by Kred - d (pltpu.roll
+                # requires a non-negative shift)
+                sx = pltpu.roll(x, Kred - d, 2)
+                sy = pltpu.roll(y, Kred - d, 2)
+                sz = pltpu.roll(z, Kred - d, 2)
+                keep = (tloc % B) < (B - d)
+                sz = jnp.where(keep, sz, jnp.zeros_like(sz))
+                x, y, z, an = pallas_jac._jadd_formulas(
+                    x, y, z, sx, sy, sz, ops)
+                an_tot = an_tot + an
+                d *= 2
+            return x, y, z, an_tot
+
+        x, y, z, an_tot = suffix(x, y, z, an_tot)
+        x, y, z, an_tot = suffix(x, y, z, an_tot)
+        ox[...] = x
+        oy[...] = y
+        oz[...] = z
+        anom[...] = an_tot
+
+    @jax.jit
+    def call(ax, ay, az):
+        T = ax.shape[2]
+        val = pl.BlockSpec((Lq, S, Kred), lambda i: (0, 0, i),
+                           memory_space=pltpu.VMEM)
+        msk = pl.BlockSpec((1, S, Kred), lambda i: (0, 0, i),
+                           memory_space=pltpu.VMEM)
+        shp = jax.ShapeDtypeStruct((Lq, S, T), U32)
+        mshp = jax.ShapeDtypeStruct((1, S, T), U32)
+        return pl.pallas_call(
+            kernel,
+            out_shape=(shp, shp, shp, mshp),
+            grid=(T // Kred,),
+            in_specs=[val, val, val],
+            out_specs=(val, val, val, msk),
+            interpret=interpret,
+        )(ax, ay, az)
+
+    return call
+
+
+# ---------------------------------------------------------------------------
+# MSM body
+# ---------------------------------------------------------------------------
+
+def _gather_chunk(pxy_rows, order, ssign, starts, ends, base, n, kc):
+    """One chunk's points+masks: (kc, 2L, lanes), (kc, 1, lanes)."""
+    G, B = starts.shape
+    offs = base + jnp.arange(kc, dtype=jnp.int32)  # (kc,)
+    idx = starts[None] + offs[:, None, None]       # (kc, G, B)
+    valid = idx < ends[None]
+    idxc = jnp.minimum(idx, n - 1).astype(jnp.int32)
+    gidx = jnp.arange(G, dtype=jnp.int32)[None, :, None]
+    pidx = order[gidx, idxc]                       # (kc, G, B)
+    sg = ssign[gidx, idxc]
+    pts = pxy_rows[pidx.reshape(-1)]               # (kc*G*B, 2L)
+    pts = pts.reshape(kc, G * B, 2 * Lq).transpose(0, 2, 1)
+    msk = (valid.astype(U32) | (sg << 1)).reshape(kc, 1, G * B)
+    return pts, msk
+
+
+def _msm_body_v3(n, P, c, coeffs, pxy_rows, interpret=False):
+    """(L, P, n) Montgomery scalars + (n, 2L) row-major points ->
+    ((L, G) raw Jacobian window sums, anomaly count)."""
+    W, _H = _window_plan(c)
+    half = 1 << (c - 1)
+    B = half
+    G = P * W
+    lanes = G * B
+    npad = pallas2.padded(lanes)
+    S = pallas2.S_SUB
+    T = npad // S
+    use_pl = pallas_jac.use_pallas() or interpret
+
+    bucket, sign = _digits(coeffs, n, P, c)
+    order, ssign, starts, ends = _sort_plan(bucket, sign, half, n)
+    rounds = jnp.max(ends - starts).astype(jnp.int32)
+
+    def pack3(x):
+        return pallas2.pack(x, npad)
+
+    zero3 = jnp.zeros((Lq, S, T), U32)
+    state = (jnp.int32(0), zero3, zero3, zero3,
+             jnp.zeros((1, S, T), U32))
+
+    def pad_last(x):
+        if x.shape[-1] == npad:
+            return x
+        return jnp.concatenate(
+            [x, jnp.zeros(x.shape[:-1] + (npad - x.shape[-1],), x.dtype)],
+            axis=-1)
+
+    if use_pl:
+        acc_fn = _accum_kernel(KC, interpret)
+
+        def body(st):
+            base, ax, ay, az, anom = st
+            pts, msk = _gather_chunk(
+                pxy_rows, order, ssign, starts, ends, base, n, KC)
+            ptsp = pad_last(pts).reshape(KC, 2 * Lq, S, T)
+            mskp = pad_last(msk).reshape(KC, 1, S, T)
+            ax, ay, az, an = acc_fn(ax, ay, az, ptsp, mskp)
+            return base + KC, ax, ay, az, anom + an
+    else:
+        def body(st):
+            base, ax, ay, az, anom = st
+            pts, msk = _gather_chunk(
+                pxy_rows, order, ssign, starts, ends, base, n, KC)
+            axf = pallas2.unpack(ax, lanes)
+            ayf = pallas2.unpack(ay, lanes)
+            azf = pallas2.unpack(az, lanes)
+            anf = jnp.uint32(0)
+            for k in range(KC):
+                (axf, ayf, azf), an = pallas_jac.madd(
+                    (axf, ayf, azf), pts[k, :Lq], pts[k, Lq:],
+                    msk[k, 0] & 1, msk[k, 0] >> 1)
+                anf = anf + an
+            return (base + KC, pack3(axf), pack3(ayf), pack3(azf),
+                    anom + jnp.full((1, S, T), 0, U32).at[0, 0, 0]
+                    .add(anf))
+
+    def cond(st):
+        return st[0] < rounds
+
+    _, ax, ay, az, anom_acc = jax.lax.while_loop(cond, body, state)
+    anom = jnp.sum(anom_acc)
+
+    # ---- weighted reduction ---------------------------------------------
+    Kred = max(pallas2.LANES, B)
+    if use_pl and B <= 1024 and T % Kred == 0:
+        rx, ry, rz, ran = _wreduce_kernel(B, Kred, interpret)(ax, ay, az)
+        anom = anom + jnp.sum(ran)
+        flat = [pallas2.unpack(v, lanes).reshape(Lq, G, B)[:, :, 0]
+                for v in (rx, ry, rz)]
+        out = tuple(FQ.from_mont(v) for v in flat)
+        return out, anom
+    # XLA ladder fallback (v2's double-suffix, works at any size)
+    flatx = pallas2.unpack(ax, lanes)
+    flaty = pallas2.unpack(ay, lanes)
+    flatz = pallas2.unpack(az, lanes)
+
+    def suffix_pass(tree, anom):
+        for k in range((B - 1).bit_length()):
+            s = 1 << k
+            shifted = []
+            for cc in tree:
+                c3 = cc.reshape(Lq, G, B)
+                c3 = jnp.concatenate(
+                    [c3[:, :, s:], jnp.zeros((Lq, G, s), U32)], axis=-1)
+                shifted.append(c3.reshape(Lq, G * B))
+            tree, a = pallas_jac.jadd(tree, tuple(shifted),
+                                      interpret=interpret)
+            anom = anom + a
+        return tree, anom
+
+    tree = (flatx, flaty, flatz)
+    tree, anom = suffix_pass(tree, anom)
+    tree, anom = suffix_pass(tree, anom)
+    out = tuple(FQ.from_mont(cc.reshape(Lq, G, B)[:, :, 0])
+                for cc in tree)
+    return out, anom
+
+
+def encode_points_rows(points):
+    """Affine points -> (n, 2L) u32 row-major Montgomery limb array."""
+    px, py, _ = g1.encode_points(points)
+    return jnp.concatenate([px, py], axis=0).T.copy()
+
+
+class PippengerMSM3:
+    """v3 drop-in for msm2.PippengerMSM (same public interface)."""
+
+    def __init__(self, points):
+        self.n = len(points)
+        self.points_host = list(points)
+        assert all(p is not None for p in points), "SRS points finite"
+        self.pxy = encode_points_rows(points)
+
+    def _run(self, stack):
+        L, P, n = stack.shape
+        assert n == self.n, (n, self.n)
+        c = pick_window(n)
+        W, _H = _window_plan(c)
+        outs = _msm_fn3(n, P, c)(stack, self.pxy)
+        ((wx, wy, wz), anom) = jax.device_get(outs)
+        if int(anom) > 0:
+            return self._host_fallback(stack)
+        pts = decode_raw_jacobian(wx, wy, wz)
+        return recombine_windows(pts, P, W, c)
+
+    def _host_fallback(self, stack):
+        from .host import msm_host
+        out = []
+        for p_i in range(stack.shape[1]):
+            scalars = FR.decode_fast(stack[:, p_i])
+            out.append(msm_host(self.points_host, scalars))
+        return out
+
+    def commit_mont(self, coeffs_mont):
+        return self._run(coeffs_mont[:, None, :])[0]
+
+    def commit_mont_batch(self, coeffs_mont):
+        return self._run(coeffs_mont)
+
+    def mul(self, scalars):
+        n_real = len(scalars)
+        assert n_real <= self.n
+        vals = [s % R for s in scalars] + [0] * (self.n - n_real)
+        from ..fields.limb import encode_ints
+        raw = jnp.asarray(encode_ints(vals, FR.L))
+        stack = FR.to_mont(raw)[:, None, :]
+        return self._run(stack)[0]
+
+
+@functools.lru_cache(maxsize=None)
+def _msm_fn3(n: int, P: int, c: int):
+    def fn(coeffs, pxy_rows):
+        return _msm_body_v3(n, P, c, coeffs, pxy_rows)
+
+    return jax.jit(fn)

@@ -461,14 +461,18 @@ class DeviceProverKey:
 
 
 def make_device_msm(points):
-    """Device MSM selection: round-2 Pippenger by default,
-    ARKPLONK_MSM=v1 opts back into the round-1 scan MSM."""
+    """Device MSM selection: v3 (chunked streaming kernels) by default;
+    ARKPLONK_MSM=v2 -> per-round launches, v1 -> round-1 scan MSM."""
     import os
-    if os.environ.get("ARKPLONK_MSM") == "v1":
+    sel = os.environ.get("ARKPLONK_MSM", "v3")
+    if sel == "v1":
         from ..curve.msm import DeviceMSM
         return DeviceMSM(points)
-    from ..curve.msm2 import PippengerMSM
-    return PippengerMSM(points)
+    if sel == "v2":
+        from ..curve.msm2 import PippengerMSM
+        return PippengerMSM(points)
+    from ..curve.msm3 import PippengerMSM3
+    return PippengerMSM3(points)
 
 
 class DeviceProver:
@@ -572,6 +576,16 @@ class DeviceProver:
         hd = host.Domain(cs.circuit_bound())
         n = hd.size
         ma = self.mesh_axes
+        # fused one-dispatch-per-round path (single device only)
+        from ..curve.msm2 import PippengerMSM, pick_window
+        from ..curve.msm3 import PippengerMSM3
+        from . import device_rounds as dr
+        fused = ma is None and isinstance(dpk.msm,
+                                          (PippengerMSM, PippengerMSM3))
+        cwin = pick_window(n) if fused else None
+        if fused:
+            mkind = dr.msm_kind(dpk.msm)
+            mtabs = dr.msm_tables(dpk.msm)
 
         def shard(x):
             if ma is None:
@@ -613,16 +627,35 @@ class DeviceProver:
         def enc_scalar(x):
             return jnp.asarray(FR.encode(x % R)).reshape(FR.L, 1)
 
+        def fused_fallback(stack_dev, P):
+            """Anomaly fallback: exact host MSM on the decoded stack."""
+            def fb():
+                out = []
+                for p_i in range(P):
+                    scalars = FR.decode_fast(stack_dev[:, p_i])
+                    from ..curve.host import msm_host
+                    out.append(msm_host(dpk.msm.points_host, scalars))
+                return out
+            return fb
+
         # --- Round 1: witness polys (+ PI poly in the same batched iNTT) --
         pad = [0] * (n - len(cs.w_l))
         w_scalars = [[cs.variables[v] for v in w] + pad
                      for w in (cs.w_l, cs.w_r, cs.w_o, cs.w_4)]
         pi_evals = pi_mod.as_evals(cs.public_inputs, n)
         wire_evals = shard(_enc_stack(w_scalars + [pi_evals]))  # (L, 5, n)
-        wire_coeffs5 = _wire_intt_fn(n, ma)(wire_evals)
+        if fused:
+            wire_coeffs5, wx, wy, wz, anom = dr.r1_fn(n, cwin, mkind)(
+                wire_evals, *mtabs)
+            wx, wy, wz, anom = jax.device_get((wx, wy, wz, anom))
+            w_comms = dr.finish_commits(
+                wx, wy, wz, anom, 4, cwin,
+                fused_fallback(wire_coeffs5[:, :4], 4))
+        else:
+            wire_coeffs5 = _wire_intt_fn(n, ma)(wire_evals)
+            w_comms = commit_batch([wire_coeffs5[:, i] for i in range(4)])
         wire_coeffs = wire_coeffs5[:, :4]
         pi_poly_dev = wire_coeffs5[:, 4]
-        w_comms = commit_batch([wire_coeffs[:, i] for i in range(4)])
         for lbl, cm in zip([b"w_l", b"w_r", b"w_o", b"w_4"], w_comms):
             transcript.append_g1(lbl, cm)
 
@@ -632,27 +665,43 @@ class DeviceProver:
         transcript.append_fr(b"zeta", zeta)
         zeta_d = enc_scalar(zeta)
 
-        ct_dev = _compress_fn(n, ma)(dpk.table_cols, zeta_d)   # (L, n)
-
-        cw_dev = _compress_fn(n, ma)(wire_evals[:, :4], zeta_d)
         q_lookup_padded = cs.q_lookup + [0] * (n - len(cs.q_lookup))
         mask = np.array([q % R != 0 for q in q_lookup_padded])
-        cf_dev = _query_fn(n, ma)(cw_dev, ct_dev, shard(jnp.asarray(mask)))
-
-        from .device_lookup import combine_split_device
-        h1_dev, h2_dev, bad_flag = combine_split_device(ct_dev, cf_dev, ma)
-        if bool(jax.device_get(bad_flag)):
-            from ..errors import ElementNotIndexed
-            raise ElementNotIndexed("lookup query element not in table")
-        lookup_evals_dev = jnp.stack(
-            [ct_dev, cf_dev, h1_dev, h2_dev], axis=1)  # [t, f, h1, h2]
-        lookup_coeffs = _wire_intt_fn(n, ma)(lookup_evals_dev)
+        if fused:
+            (cf_dev, lookup_evals_dev, lookup_coeffs, wx, wy, wz, anom,
+             bad_flag) = dr.r2_fn(n, cwin, mkind)(
+                dpk.table_cols, wire_evals, jnp.asarray(mask), zeta_d,
+                *mtabs)
+            wx, wy, wz, anom, bad = jax.device_get(
+                (wx, wy, wz, anom, bad_flag))
+            if bool(bad):
+                from ..errors import ElementNotIndexed
+                raise ElementNotIndexed("lookup query element not in table")
+            ct_dev = lookup_evals_dev[:, 0]
+            f_comm, h_1_comm, h_2_comm = dr.finish_commits(
+                wx, wy, wz, anom, 3, cwin,
+                fused_fallback(lookup_coeffs[:, 1:4], 3))
+        else:
+            ct_dev = _compress_fn(n, ma)(dpk.table_cols, zeta_d)   # (L, n)
+            cw_dev = _compress_fn(n, ma)(wire_evals[:, :4], zeta_d)
+            cf_dev = _query_fn(n, ma)(cw_dev, ct_dev,
+                                      shard(jnp.asarray(mask)))
+            from .device_lookup import combine_split_device
+            h1_dev, h2_dev, bad_flag = combine_split_device(
+                ct_dev, cf_dev, ma)
+            if bool(jax.device_get(bad_flag)):
+                from ..errors import ElementNotIndexed
+                raise ElementNotIndexed("lookup query element not in table")
+            lookup_evals_dev = jnp.stack(
+                [ct_dev, cf_dev, h1_dev, h2_dev], axis=1)  # [t, f, h1, h2]
+            lookup_coeffs = _wire_intt_fn(n, ma)(lookup_evals_dev)
+            f_comm, h_1_comm, h_2_comm = commit_batch(
+                [lookup_coeffs[:, 1], lookup_coeffs[:, 2],
+                 lookup_coeffs[:, 3]])
         table_poly_dev = lookup_coeffs[:, 0]
         f_poly_dev = lookup_coeffs[:, 1]
         h1_poly_dev = lookup_coeffs[:, 2]
         h2_poly_dev = lookup_coeffs[:, 3]
-        f_comm, h_1_comm, h_2_comm = commit_batch(
-            [f_poly_dev, h1_poly_dev, h2_poly_dev])
         transcript.append_g1(b"f", f_comm)
         transcript.append_g1(b"h1", h_1_comm)
         transcript.append_g1(b"h2", h_2_comm)
@@ -669,13 +718,27 @@ class DeviceProver:
         transcript.append_fr(b"epsilon", epsilon)
         assert len({beta, gamma, delta, epsilon}) == 4
 
-        z_poly_dev = _z_poly_fn(n, ma)(wire_evals[:, :4], dpk.sigma_lagrange,
-                                   enc_scalar(beta), enc_scalar(gamma))
-        z2_poly_dev = _z2_poly_fn(n, ma)(cf_dev, ct_dev,
-                                     lookup_evals_dev[:, 2],
-                                     lookup_evals_dev[:, 3],
-                                     enc_scalar(delta), enc_scalar(epsilon))
-        z_comm, z_2_comm = commit_batch([z_poly_dev, z2_poly_dev])
+        if fused:
+            z_poly_dev, z2_poly_dev, wx, wy, wz, anom = \
+                dr.r3_fn(n, cwin, mkind)(
+                    wire_evals, dpk.sigma_lagrange, cf_dev,
+                    lookup_evals_dev, enc_scalar(beta), enc_scalar(gamma),
+                    enc_scalar(delta), enc_scalar(epsilon), *mtabs)
+            wx, wy, wz, anom = jax.device_get((wx, wy, wz, anom))
+            z_comm, z_2_comm = dr.finish_commits(
+                wx, wy, wz, anom, 2, cwin,
+                fused_fallback(
+                    jnp.stack([z_poly_dev, z2_poly_dev], axis=1), 2))
+        else:
+            z_poly_dev = _z_poly_fn(n, ma)(
+                wire_evals[:, :4], dpk.sigma_lagrange,
+                enc_scalar(beta), enc_scalar(gamma))
+            z2_poly_dev = _z2_poly_fn(n, ma)(cf_dev, ct_dev,
+                                             lookup_evals_dev[:, 2],
+                                             lookup_evals_dev[:, 3],
+                                             enc_scalar(delta),
+                                             enc_scalar(epsilon))
+            z_comm, z_2_comm = commit_batch([z_poly_dev, z2_poly_dev])
         transcript.append_g1(b"z", z_comm)
 
         _mark("round3 z/z2+commits")
@@ -707,9 +770,17 @@ class DeviceProver:
             [enc_scalar(x) for x in
              (alpha, beta, gamma, delta, epsilon, zeta, range_ch, logic_ch,
               fixed_ch, var_ch, lookup_ch)], axis=1)
-        t_coeffs = _quotient_fn(n, ma)(dpk.sel4, dpk.sig4, polys_n, chal_stack)
-        t_stack = _tsplit_fn(n, ma)(t_coeffs)  # (L, 4, n)
-        t_comms = commit_batch(t_stack)
+        if fused:
+            t_stack, wx, wy, wz, anom = dr.r4_fn(n, cwin, mkind)(
+                dpk.sel4, dpk.sig4, polys_n, chal_stack, *mtabs)
+            wx, wy, wz, anom = jax.device_get((wx, wy, wz, anom))
+            t_comms = dr.finish_commits(wx, wy, wz, anom, 4, cwin,
+                                        fused_fallback(t_stack, 4))
+        else:
+            t_coeffs = _quotient_fn(n, ma)(dpk.sel4, dpk.sig4, polys_n,
+                                           chal_stack)
+            t_stack = _tsplit_fn(n, ma)(t_coeffs)  # (L, 4, n)
+            t_comms = commit_batch(t_stack)
         for lbl, cm in zip([b"t_1", b"t_2", b"t_3", b"t_4"], t_comms):
             transcript.append_g1(lbl, cm)
 
@@ -864,15 +935,33 @@ class DeviceProver:
             lin_poly_dev[:, None], dpk.sig_coeffs[:, 0:3],
             f_poly_dev[:, None], h2_poly_dev[:, None],
             table_poly_dev[:, None], wire_coeffs], axis=1)
-        aw_w = _open_fn(n, ma)(aw_stack, enc_scalar(aw_challenge),
-                           enc_scalar(z_challenge))
         saw_stack = jnp.stack(
             [z_poly_dev, wire_coeffs[:, 0], wire_coeffs[:, 1],
              wire_coeffs[:, 3], h1_poly_dev, z2_poly_dev, table_poly_dev],
             axis=1)
-        saw_w = _open_fn(n, ma)(saw_stack, enc_scalar(saw_challenge),
-                            enc_scalar(shifted_z))
-        aw_c, saw_c = commit_batch([aw_w, saw_w])
+        if fused:
+            wx, wy, wz, anom = dr.r5_fn(n, cwin, mkind)(
+                aw_stack, saw_stack, enc_scalar(aw_challenge),
+                enc_scalar(saw_challenge), enc_scalar(z_challenge),
+                enc_scalar(shifted_z), *mtabs)
+            wx, wy, wz, anom = jax.device_get((wx, wy, wz, anom))
+
+            def open_fallback():
+                aw_w = _open_fn(n, ma)(aw_stack, enc_scalar(aw_challenge),
+                                       enc_scalar(z_challenge))
+                saw_w = _open_fn(n, ma)(saw_stack, enc_scalar(saw_challenge),
+                                        enc_scalar(shifted_z))
+                return fused_fallback(
+                    jnp.stack([aw_w, saw_w], axis=1), 2)()
+
+            aw_c, saw_c = dr.finish_commits(wx, wy, wz, anom, 2, cwin,
+                                            open_fallback)
+        else:
+            aw_w = _open_fn(n, ma)(aw_stack, enc_scalar(aw_challenge),
+                                   enc_scalar(z_challenge))
+            saw_w = _open_fn(n, ma)(saw_stack, enc_scalar(saw_challenge),
+                                    enc_scalar(shifted_z))
+            aw_c, saw_c = commit_batch([aw_w, saw_w])
         aw_opening = kzg.OpeningProof(aw_c)
         saw_opening = kzg.OpeningProof(saw_c)
         _mark("r5: opens+commits")

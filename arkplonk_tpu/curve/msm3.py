@@ -17,10 +17,10 @@ and restructures the data flow:
      accumulator block stays in VMEM across its whole chunk);
   3. the outer chunk loop is a `lax.while_loop` bounded by the DYNAMIC
      max bucket occupancy (no static worst-case padding);
-  4. when the full (G*B) accumulator fits VMEM, the whole weighted
-     reduction sum_b b*S_b runs as ONE kernel (double suffix-sum with
-     lane rolls and bucket-boundary masks); larger sizes fall back to
-     the v2 XLA jadd ladder.
+  4. the weighted reduction sum_b b*S_b is a double suffix ladder over
+     the small shared per-step jadd kernel (~2*log2(B) launches; a
+     fully fused one-launch variant was tried and abandoned — ~28
+     inlined add bodies cost ~40 min of Mosaic compile).
 
 Interfaces match msm2.PippengerMSM (commit_mont / commit_mont_batch /
 mul) so the fused round programs can swap bodies.
@@ -47,7 +47,6 @@ from .msm2 import (_window_plan, pick_window, _digits,
 U32 = jnp.uint32
 Lq = FQ.L
 KC = 8                       # bucket rounds per gather/launch chunk
-VMEM_LANE_LIMIT = 40960      # full-reduction kernel cutoff (acc <= ~12MB)
 
 
 # ---------------------------------------------------------------------------
@@ -145,72 +144,6 @@ def _accum_kernel(kc: int, interpret: bool):
     return call
 
 
-@functools.lru_cache(maxsize=None)
-def _wreduce_kernel(B: int, Kred: int, interpret: bool):
-    """One-launch weighted bucket reduction: two suffix-sum passes along
-    the bucket axis, result at each group's bucket-0 lane.
-
-    sfx1[b] = sum_{j>=b} S_j; sfx2 of sfx1 at the first lane of each
-    bucket block = sum_j j*S_j.  Packed layout invariant: flat lane
-    index = s*T + t, bucket blocks of B consecutive flat lanes; with
-    B | Kred and B | T every bucket block sits inside one sublane row of
-    one grid block, so the suffix shift is a lane roll whose wrapped
-    positions are exactly the masked (infinity) shift-ins."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    ops = pallas_jac._TileOps()
-    S = pallas2.S_SUB
-
-    def kernel(ax, ay, az, ox, oy, oz, anom):
-        x, y, z = ax[...], ay[...], az[...]
-        an_tot = jnp.zeros((1, S, Kred), U32)
-        tloc = jax.lax.broadcasted_iota(jnp.int32, (1, S, Kred), 2)
-
-        def suffix(x, y, z, an_tot):
-            d = 1
-            while d < B:
-                # left-shift by d == roll forward by Kred - d (pltpu.roll
-                # requires a non-negative shift)
-                sx = pltpu.roll(x, Kred - d, 2)
-                sy = pltpu.roll(y, Kred - d, 2)
-                sz = pltpu.roll(z, Kred - d, 2)
-                keep = (tloc % B) < (B - d)
-                sz = jnp.where(keep, sz, jnp.zeros_like(sz))
-                x, y, z, an = pallas_jac._jadd_formulas(
-                    x, y, z, sx, sy, sz, ops)
-                an_tot = an_tot + an
-                d *= 2
-            return x, y, z, an_tot
-
-        x, y, z, an_tot = suffix(x, y, z, an_tot)
-        x, y, z, an_tot = suffix(x, y, z, an_tot)
-        ox[...] = x
-        oy[...] = y
-        oz[...] = z
-        anom[...] = an_tot
-
-    @jax.jit
-    def call(ax, ay, az):
-        T = ax.shape[2]
-        val = pl.BlockSpec((Lq, S, Kred), lambda i: (0, 0, i),
-                           memory_space=pltpu.VMEM)
-        msk = pl.BlockSpec((1, S, Kred), lambda i: (0, 0, i),
-                           memory_space=pltpu.VMEM)
-        shp = jax.ShapeDtypeStruct((Lq, S, T), U32)
-        mshp = jax.ShapeDtypeStruct((1, S, T), U32)
-        return pl.pallas_call(
-            kernel,
-            out_shape=(shp, shp, shp, mshp),
-            grid=(T // Kred,),
-            in_specs=[val, val, val],
-            out_specs=(val, val, val, msk),
-            interpret=interpret,
-        )(ax, ay, az)
-
-    return call
-
-
 # ---------------------------------------------------------------------------
 # MSM body
 # ---------------------------------------------------------------------------
@@ -231,9 +164,11 @@ def _gather_chunk(pxy_rows, order, ssign, starts, ends, base, n, kc):
     return pts, msk
 
 
-def _msm_body_v3(n, P, c, coeffs, pxy_rows, interpret=False):
+def _msm_body_v3(n, P, c, coeffs, pxy_rows, interpret=False, to_raw=True):
     """(L, P, n) Montgomery scalars + (n, 2L) row-major points ->
-    ((L, G) raw Jacobian window sums, anomaly count)."""
+    ((L, G) raw Jacobian window sums, anomaly count).  to_raw=False
+    keeps the sums in Montgomery form for on-device consumption
+    (device_finish.recombine_device)."""
     W, _H = _window_plan(c)
     half = 1 << (c - 1)
     B = half
@@ -262,32 +197,33 @@ def _msm_body_v3(n, P, c, coeffs, pxy_rows, interpret=False):
             [x, jnp.zeros(x.shape[:-1] + (npad - x.shape[-1],), x.dtype)],
             axis=-1)
 
+    kc = KC if use_pl else 2   # small chunks keep the CPU graphs compilable
     if use_pl:
-        acc_fn = _accum_kernel(KC, interpret)
+        acc_fn = _accum_kernel(kc, interpret)
 
         def body(st):
             base, ax, ay, az, anom = st
             pts, msk = _gather_chunk(
-                pxy_rows, order, ssign, starts, ends, base, n, KC)
-            ptsp = pad_last(pts).reshape(KC, 2 * Lq, S, T)
-            mskp = pad_last(msk).reshape(KC, 1, S, T)
+                pxy_rows, order, ssign, starts, ends, base, n, kc)
+            ptsp = pad_last(pts).reshape(kc, 2 * Lq, S, T)
+            mskp = pad_last(msk).reshape(kc, 1, S, T)
             ax, ay, az, an = acc_fn(ax, ay, az, ptsp, mskp)
-            return base + KC, ax, ay, az, anom + an
+            return base + kc, ax, ay, az, anom + an
     else:
         def body(st):
             base, ax, ay, az, anom = st
             pts, msk = _gather_chunk(
-                pxy_rows, order, ssign, starts, ends, base, n, KC)
+                pxy_rows, order, ssign, starts, ends, base, n, kc)
             axf = pallas2.unpack(ax, lanes)
             ayf = pallas2.unpack(ay, lanes)
             azf = pallas2.unpack(az, lanes)
             anf = jnp.uint32(0)
-            for k in range(KC):
+            for k in range(kc):
                 (axf, ayf, azf), an = pallas_jac.madd(
                     (axf, ayf, azf), pts[k, :Lq], pts[k, Lq:],
                     msk[k, 0] & 1, msk[k, 0] >> 1)
                 anf = anf + an
-            return (base + KC, pack3(axf), pack3(ayf), pack3(azf),
+            return (base + kc, pack3(axf), pack3(ayf), pack3(azf),
                     anom + jnp.full((1, S, T), 0, U32).at[0, 0, 0]
                     .add(anf))
 
@@ -297,16 +233,10 @@ def _msm_body_v3(n, P, c, coeffs, pxy_rows, interpret=False):
     _, ax, ay, az, anom_acc = jax.lax.while_loop(cond, body, state)
     anom = jnp.sum(anom_acc)
 
-    # ---- weighted reduction ---------------------------------------------
-    Kred = max(pallas2.LANES, B)
-    if use_pl and B <= 1024 and T % Kred == 0:
-        rx, ry, rz, ran = _wreduce_kernel(B, Kred, interpret)(ax, ay, az)
-        anom = anom + jnp.sum(ran)
-        flat = [pallas2.unpack(v, lanes).reshape(Lq, G, B)[:, :, 0]
-                for v in (rx, ry, rz)]
-        out = tuple(FQ.from_mont(v) for v in flat)
-        return out, anom
-    # XLA ladder fallback (v2's double-suffix, works at any size)
+    # ---- weighted reduction: double suffix ladder over the shared
+    # per-step jadd kernel (one small Mosaic kernel reused ~14x; a fully
+    # fused one-launch variant was tried and costs ~40 min of Mosaic
+    # compile from the inlined add bodies)
     flatx = pallas2.unpack(ax, lanes)
     flaty = pallas2.unpack(ay, lanes)
     flatz = pallas2.unpack(az, lanes)
@@ -328,9 +258,10 @@ def _msm_body_v3(n, P, c, coeffs, pxy_rows, interpret=False):
     tree = (flatx, flaty, flatz)
     tree, anom = suffix_pass(tree, anom)
     tree, anom = suffix_pass(tree, anom)
-    out = tuple(FQ.from_mont(cc.reshape(Lq, G, B)[:, :, 0])
-                for cc in tree)
-    return out, anom
+    heads = tuple(cc.reshape(Lq, G, B)[:, :, 0] for cc in tree)
+    if to_raw:
+        heads = tuple(FQ.from_mont(cc) for cc in heads)
+    return heads, anom
 
 
 def encode_points_rows(points):

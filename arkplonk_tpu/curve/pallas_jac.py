@@ -159,7 +159,12 @@ def _jdbl_formulas(x1, y1, z1, f):
 
 
 def _jadd_formulas(x1, y1, z1, x2, y2, z2, f):
-    """add-2007-bl, complete except doubling (flagged as anomaly)."""
+    """add-2007-bl made COMPLETE: the doubling case (same affine point,
+    h=0 and r=0) selects the dbl-2009-l result instead of being flagged.
+    Equal operands occur structurally in the MSM weighted reduction —
+    suffix partial sums are bitwise-equal across empty-bucket runs — so
+    jadd must compute them, not anomaly out (the anomaly output is kept
+    for interface compatibility and is always 0)."""
     z1z1 = f.mul(z1, z1)
     z2z2 = f.mul(z2, z2)
     u1 = f.mul(x1, z2z2)
@@ -183,15 +188,22 @@ def _jadd_formulas(x1, y1, z1, x2, y2, z2, f):
     h0 = f.is_zero(h)
     r0 = f.is_zero(rr)
     both = (~p_inf) & (~q_inf)
-    anomaly = both & h0 & r0
+    dbl_case = both & h0 & r0
     res_inf = both & h0 & (~r0)
 
+    dx, dy, dz = _jdbl_formulas(x1, y1, z1, f)
+
     zero = jnp.zeros_like(z3)
-    ox = jnp.where(q_inf, x1, jnp.where(p_inf, x2, x3))
-    oy = jnp.where(q_inf, y1, jnp.where(p_inf, y2, y3))
+    ox = jnp.where(q_inf, x1, jnp.where(p_inf, x2,
+                                        jnp.where(dbl_case, dx, x3)))
+    oy = jnp.where(q_inf, y1, jnp.where(p_inf, y2,
+                                        jnp.where(dbl_case, dy, y3)))
     oz = jnp.where(q_inf, z1, jnp.where(p_inf, z2,
-                                        jnp.where(res_inf, zero, z3)))
-    return ox, oy, oz, anomaly.astype(U32)
+                                        jnp.where(dbl_case, dz,
+                                                  jnp.where(res_inf, zero,
+                                                            z3))))
+    anomaly = jnp.zeros_like(oz[0:1]).astype(U32)
+    return ox, oy, oz, anomaly
 
 
 # ---------------------------------------------------------------------------

@@ -576,6 +576,14 @@ class DeviceProver:
         hd = host.Domain(cs.circuit_bound())
         n = hd.size
         ma = self.mesh_axes
+        if ma is None and _os.environ.get("ARKPLONK_MEGA", "0") == "1":
+            # whole-prove single dispatch (device transcript); falls
+            # through to the per-round path on MSM anomaly or v2 MSM
+            from . import device_mega
+            proof = device_mega.prove_mega(self, dpk)
+            if proof is not None:
+                _mark("mega prove (single dispatch)")
+                return proof
         # fused one-dispatch-per-round path (single device only)
         from ..curve.msm2 import PippengerMSM, pick_window
         from ..curve.msm3 import PippengerMSM3

@@ -96,14 +96,13 @@ def test_jadd_generic(interpret):
     pj[6] = (1, 1, 0)
     qj[6] = (1, 1, 0)             # both infinite
     qj[8] = _jacify((pts[8][0], (-pts[8][1]) % cv.Q), 9)   # q = -p
-    qj[10] = _jacify(pts[10], 13)                          # q = p (anomaly)
+    qj[10] = _jacify(pts[10], 13)    # q = p: complete jadd must DOUBLE
+    # (equal operands occur structurally in the MSM weighted reduction)
 
     out, anom = pallas_jac.jadd(_enc_jac(pj), _enc_jac(qj),
                                 interpret=interpret)
     got = _dec_jac(out)
     for i in range(N_TEST):
-        if i == 10:
-            continue
         exp = cv.jac_to_affine(cv.jac_add(pj[i], qj[i]))
         assert got[i] == exp, f"lane {i}"
-    assert int(anom) == 1
+    assert int(anom) == 0

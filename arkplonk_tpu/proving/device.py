@@ -576,7 +576,7 @@ class DeviceProver:
         hd = host.Domain(cs.circuit_bound())
         n = hd.size
         ma = self.mesh_axes
-        if ma is None and _os.environ.get("ARKPLONK_MEGA", "0") == "1":
+        if ma is None and _os.environ.get("ARKPLONK_MEGA", "1") == "1":
             # whole-prove single dispatch (device transcript); falls
             # through to the per-round path on MSM anomaly or v2 MSM
             from . import device_mega

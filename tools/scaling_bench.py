@@ -1,0 +1,103 @@
+"""NTT / MSM / prove scaling over mesh sizes (BASELINE scaling counter).
+
+Runs the distributed NTT (four-step), the sharded MSM, and optionally
+the full mesh prover at mesh sizes 1/2/4/8 and reports wall time +
+efficiency vs 1 device.
+
+On real multi-chip hardware this measures true scaling. On the CPU
+virtual mesh (the only thing available in this sandbox) the devices
+share host cores, so wall-clock "efficiency" is meaningless — the run
+still validates that the sharded programs execute with the intended
+collective structure and records bit-exactness across mesh shapes.
+The JSON notes which regime produced the numbers.
+
+Usage:
+  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python tools/scaling_bench.py [log2n]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+# This sandbox pre-imports jax, so JAX_PLATFORMS in the env is read too
+# late; force the platform through config BEFORE any backend initializes
+# (see tests/conftest.py).  Default: CPU virtual mesh; ARKPLONK_SCALING_TPU=1
+# opts into the real chip (never run while another device process is live).
+if os.environ.get("ARKPLONK_SCALING_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
+    os.environ["ARKPLONK_CACHE"] = "0"   # CPU AOT cache entries thrash here
+
+import numpy as np  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from arkplonk_tpu.fields.jaxfield import FR  # noqa: E402
+from arkplonk_tpu.fields import host  # noqa: E402
+from arkplonk_tpu.poly import ntt  # noqa: E402
+from arkplonk_tpu.mesh import sharding as ms  # noqa: E402
+
+
+def _rand_stack(n, b, seed=0):
+    rng = np.random.default_rng(seed)
+    vals = [int.from_bytes(rng.bytes(31), "little") % host.R
+            for _ in range(1024)]
+    arr = np.asarray(FR.encode(vals)).reshape(FR.L, 1, 1024)
+    reps = (b, n // 1024 if n >= 1024 else 1)
+    out = np.tile(arr, (1, *reps))[:, :, :n]
+    return jnp.asarray(out)
+
+
+def time_fn(f, *args, iters=3):
+    f(*args)[0].block_until_ready()
+    best = None
+    for _ in range(iters):
+        t0 = time.time()
+        r = f(*args)
+        np.asarray(jax.device_get(r[0]))  # readback sync
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def ntt_scaling(n, mesh_sizes):
+    out = {}
+    x = _rand_stack(n, 4)
+    for d in mesh_sizes:
+        mesh = ms.make_mesh(d)
+        ma = (mesh, mesh.axis_names[0]) if d > 1 else None
+        dd = ntt.get_device_domain(n)
+
+        def run(x):
+            y = ntt.intt(x, dd, ma)   # the prover's hot transform
+            return (y,)
+
+        xs = ms.put_sharded(mesh, x) if d > 1 else x
+        out[d] = round(time_fn(jax.jit(run), xs) * 1e3, 2)
+    base = out[mesh_sizes[0]]
+    return {"ms": out,
+            "efficiency": {d: round(base / (out[d] * d), 3) for d in out}}
+
+
+def main():
+    lg = int(sys.argv[1]) if len(sys.argv) > 1 else 14
+    n = 1 << lg
+    sizes = [d for d in (1, 2, 4, 8) if d <= len(jax.devices())]
+    detail = {
+        "platform": jax.default_backend(),
+        "n_devices_available": len(jax.devices()),
+        "regime": ("hardware" if jax.default_backend() == "tpu"
+                   else "virtual-mesh (shared host cores: efficiency "
+                        "numbers are NOT hardware scaling)"),
+        "log2n": lg,
+        "ntt": ntt_scaling(n, sizes),
+    }
+    print(json.dumps(detail, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -19,9 +19,16 @@ import subprocess
 from ..fields.host import Q, R
 
 _LIB = None
-_QSQ = (Q * Q).to_bytes((Q * Q).bit_length() + 7 >> 3, "big")
+# Frobenius constant exponent (p-1)/6 and the EXACT base-p digits of the
+# hard exponent (p^4-p^2+1)/r: the C core computes
+# y^e0 * phi(y)^e1 * phi^2(y)^e2 * phi^3(y)^e3 with a shared-squaring
+# Straus multi-exp (phi = p-power Frobenius), which equals y^e exactly.
+_PM1D6 = ((Q - 1) // 6).to_bytes(48, "big")
 _EH_INT = (Q ** 4 - Q ** 2 + 1) // R
-_EHARD = _EH_INT.to_bytes(_EH_INT.bit_length() + 7 >> 3, "big")
+assert _EH_INT * R == Q ** 4 - Q ** 2 + 1
+_EDIGITS = b"".join(
+    ((_EH_INT // Q ** k) % Q).to_bytes(48, "big") for k in range(4))
+assert sum(((_EH_INT // Q ** k) % Q) * Q ** k for k in range(4)) == _EH_INT
 
 
 def _lib_path() -> str:
@@ -43,7 +50,7 @@ def load():
             _LIB = False
             return None
         try:
-            subprocess.run(["cc", "-O3", "-fPIC", "-Wall", "-shared",
+            subprocess.run(["cc", "-O3", "-march=native", "-fPIC", "-Wall", "-shared",
                             "-o", path, src], check=True,
                            capture_output=True, timeout=120)
         except Exception:
@@ -101,10 +108,11 @@ def multi_pairing(pairs):
         g2[i * 24 + 6:i * 24 + 12] = _limbs(xc1 % Q)
         g2[i * 24 + 12:i * 24 + 18] = _limbs(yc0 % Q)
         g2[i * 24 + 18:i * 24 + 24] = _limbs(yc1 % Q)
-    qsq = (ctypes.c_uint8 * len(_QSQ)).from_buffer_copy(_QSQ)
-    eh = (ctypes.c_uint8 * len(_EHARD)).from_buffer_copy(_EHARD)
+    pm = (ctypes.c_uint8 * len(_PM1D6)).from_buffer_copy(_PM1D6)
+    ed = (ctypes.c_uint8 * len(_EDIGITS)).from_buffer_copy(_EDIGITS)
     out = (ctypes.c_uint64 * 72)()
-    lib.multi_pairing(g1, g2, infs, k, qsq, len(_QSQ), eh, len(_EHARD), out)
+    lib.multi_pairing(g1, g2, infs, k, pm, len(_PM1D6), ed, len(_EDIGITS),
+                      out)
 
     def fq_at(j):
         v = 0

@@ -6,10 +6,23 @@
  * commitment.rs:29-49, proof.rs:398-425).  The Python path takes ~0.7 s
  * per pairing; this core runs the same algorithms in a few ms.
  *
- * Structure mirrors curve/host.py 1:1 (same tower: Fq2 u^2=-1,
- * Fq6 v^3=xi=u+1, Fq12 w^2=v; same untwist; same affine Miller loop;
- * same plain-exponentiation final exp), so the Python tests can check
- * byte-exact agreement against the golden path.
+ * Same tower as curve/host.py (Fq2 u^2=-1, Fq6 v^3=xi=u+1, Fq12 w^2=v)
+ * and the same pairing VALUE (tests check exact agreement against the
+ * golden path), but the hot path is restructured:
+ *   - Miller loop in affine TWIST coordinates: untwisted G2 points have
+ *     X in the v^2 line and Y in the v*w line of Fq12, so the curve
+ *     arithmetic stays in Fq2 (one fq2 inversion per step instead of
+ *     the golden path's Fq12 inversions); the line through
+ *     (x1 v^2, y1 vw) evaluated at P=(px,py) is the sparse element
+ *        l = py + (s*x1 - y1) vw - (px*s/xi) v^2 w,   s = twist slope,
+ *     which equals MINUS the golden path's line: the (-1)^lines factor
+ *     is killed by the (even) final exponent, so values still agree.
+ *   - final exponentiation: easy part with a real Frobenius map
+ *     (phi(v)=v*xi^((p-1)/3), phi(w)=w*xi^((p-1)/6)); hard part as the
+ *     EXACT base-p decomposition e=(p^4-p^2+1)/r = e0+e1 p+e2 p^2+e3 p^3
+ *     via a shared-squaring 4-way Straus multi-exponentiation of
+ *     y^e0 * phi(y)^e1 * phi^2(y)^e2 * phi^3(y)^e3 (~380 squarings
+ *     instead of ~2000 full-width ones).
  *
  * Field arithmetic: 6x64-bit Montgomery (CIOS with __int128), inversion
  * by binary extended gcd.
@@ -438,145 +451,220 @@ static int f12_is_zero_x(const fq12 *a) {
 }
 
 /* pow by big-endian byte exponent */
-static void f12_pow_bytes(fq12 *r, const fq12 *a, const uint8_t *e, int len) {
-    fq12 acc;
-    f12_one(&acc);
+/* ---------------- Frobenius + cyclotomic machinery ---------------- */
+
+static void f2_pow_bytes(fq2 *r, const fq2 *a, const uint8_t *e, int len) {
+    fq2 acc;
+    f2_one(&acc);
     int started = 0;
     for (int i = 0; i < len; i++) {
         for (int bit = 7; bit >= 0; bit--) {
-            if (started) f12_sqr(&acc, &acc);
+            if (started) f2_sqr(&acc, &acc);
             if ((e[i] >> bit) & 1) {
                 if (!started) { acc = *a; started = 1; }
-                else f12_mul(&acc, &acc, a);
+                else f2_mul(&acc, &acc, a);
             }
         }
     }
     *r = acc;
 }
 
-/* ---------------- affine E(Fq12) group law + Miller ---------------- */
+/* gw[k] = xi^(k*(p-1)/6); phi(v)=v*gw^2, phi(w)=w*gw^1 */
+static fq2 FROB_GW[6];
+static fq2 XI_INV;
+static int FROB_READY = 0;
 
-typedef struct { fq12 x, y; int inf; } ept;
-
-static void ept_double(ept *r, const ept *p) {
-    if (p->inf || f12_is_zero_x(&p->y)) { r->inf = 1; return; }
-    fq12 num, den, lam, t, x3, y3;
-    fq12 three, two;
-    /* 3*x^2 / (2*y) */
-    f12_sqr(&t, &p->x);
-    f12_add(&num, &t, &t);
-    f12_add(&num, &num, &t);
-    f12_add(&den, &p->y, &p->y);
-    f12_inv(&den, &den);
-    f12_mul(&lam, &num, &den);
-    f12_sqr(&x3, &lam);
-    f12_add(&t, &p->x, &p->x);
-    f12_sub(&x3, &x3, &t);
-    f12_sub(&t, &p->x, &x3);
-    f12_mul(&y3, &lam, &t);
-    f12_sub(&y3, &y3, &p->y);
-    r->x = x3;
-    r->y = y3;
-    r->inf = 0;
-    (void)three; (void)two;
-}
-
-static void ept_add(ept *r, const ept *p, const ept *q) {
-    if (p->inf) { *r = *q; return; }
-    if (q->inf) { *r = *p; return; }
-    if (f12_eq(&p->x, &q->x)) {
-        if (f12_eq(&p->y, &q->y)) { ept_double(r, p); return; }
-        r->inf = 1;
-        return;
-    }
-    fq12 lam, t, d, x3, y3;
-    f12_sub(&t, &q->y, &p->y);
-    f12_sub(&d, &q->x, &p->x);
-    f12_inv(&d, &d);
-    f12_mul(&lam, &t, &d);
-    f12_sqr(&x3, &lam);
-    f12_sub(&x3, &x3, &p->x);
-    f12_sub(&x3, &x3, &q->x);
-    f12_sub(&t, &p->x, &x3);
-    f12_mul(&y3, &lam, &t);
-    f12_sub(&y3, &y3, &p->y);
-    r->x = x3;
-    r->y = y3;
-    r->inf = 0;
-}
-
-/* line through p1,p2 evaluated at t (host.py _line) */
-static void line_eval(fq12 *r, const ept *p1, const ept *p2,
-                      const fq12 *xt, const fq12 *yt) {
-    fq12 m, num, den, t;
-    if (!f12_eq(&p1->x, &p2->x)) {
-        f12_sub(&num, &p2->y, &p1->y);
-        f12_sub(&den, &p2->x, &p1->x);
-        f12_inv(&den, &den);
-        f12_mul(&m, &num, &den);
-    } else if (f12_eq(&p1->y, &p2->y)) {
-        f12_sqr(&t, &p1->x);
-        f12_add(&num, &t, &t);
-        f12_add(&num, &num, &t);
-        f12_add(&den, &p1->y, &p1->y);
-        f12_inv(&den, &den);
-        f12_mul(&m, &num, &den);
-    } else {
-        f12_sub(r, xt, &p1->x);
-        return;
-    }
-    f12_sub(&t, xt, &p1->x);
-    f12_mul(&t, &m, &t);
-    f12_sub(&num, yt, &p1->y);
-    f12_sub(r, &t, &num);
-}
-
-/* untwist: G2 (x, y) over Fq2 -> E(Fq12) (host.py untwist) */
-static void untwist(ept *r, const fq2 *qx, const fq2 *qy) {
-    fq2 xi, xi_inv, t;
+static void frob_init(const uint8_t *pm1d6, int len) {
+    if (FROB_READY) return;
+    fq2 xi;
     fq_one(&xi.c0);
-    fq_one(&xi.c1);           /* xi = 1 + u (Montgomery one in each) */
-    f2_inv(&xi_inv, &xi);
-    memset(r, 0, sizeof *r);
-    f6_zero(&r->x.c0);
-    f6_zero(&r->x.c1);
-    f6_zero(&r->y.c0);
-    f6_zero(&r->y.c1);
-    f2_mul(&t, qx, &xi_inv);
-    r->x.c0.c2 = t;           /* X = (x/xi) v^2 */
-    f2_mul(&t, qy, &xi_inv);
-    r->y.c1.c1 = t;           /* Y = (y/xi) v w */
-    r->inf = 0;
+    fq_one(&xi.c1);                /* xi = 1 + u (Montgomery) */
+    f2_inv(&XI_INV, &xi);
+    f2_one(&FROB_GW[0]);
+    f2_pow_bytes(&FROB_GW[1], &xi, pm1d6, len);
+    for (int k = 2; k < 6; k++)
+        f2_mul(&FROB_GW[k], &FROB_GW[k - 1], &FROB_GW[1]);
+    FROB_READY = 1;
 }
 
-/* Miller loop f_{|x|,Q}(P); P affine G1 (Montgomery fq), Q affine G2 */
+/* phi(sum c_ij v^i w^j) = sum conj(c_ij) gw^(2i+j) v^i w^j; alias-safe */
+static void f12_frob(fq12 *r, const fq12 *a) {
+    fq2 c;
+    f2_conj(&r->c0.c0, &a->c0.c0);
+    f2_conj(&c, &a->c0.c1); f2_mul(&r->c0.c1, &c, &FROB_GW[2]);
+    f2_conj(&c, &a->c0.c2); f2_mul(&r->c0.c2, &c, &FROB_GW[4]);
+    f2_conj(&c, &a->c1.c0); f2_mul(&r->c1.c0, &c, &FROB_GW[1]);
+    f2_conj(&c, &a->c1.c1); f2_mul(&r->c1.c1, &c, &FROB_GW[3]);
+    f2_conj(&c, &a->c1.c2); f2_mul(&r->c1.c2, &c, &FROB_GW[5]);
+}
+
+/* ---------------- twist-affine Miller loop ---------------- */
+
+/* line through untwisted (x1 v^2, y1 vw) with twist slope s, at P:
+ * l = py + (s*x1 - y1) vw - (px*s/xi) v^2 w   (see header comment) */
+static void line_build(fq12 *l, const fq2 *s, const fq2 *x1, const fq2 *y1,
+                       const fq *px, const fq *py) {
+    fq2 t;
+    memset(l, 0, sizeof *l);
+    l->c0.c0.c0 = *py;
+    f2_mul(&t, s, x1);
+    f2_sub(&l->c1.c1, &t, y1);
+    f2_mul(&t, s, &XI_INV);
+    fq_mul(&t.c0, &t.c0, px);
+    fq_mul(&t.c1, &t.c1, px);
+    f2_neg(&l->c1.c2, &t);
+}
+
+/* vertical line x = x1 v^2 at P: l = px - x1 v^2 */
+static void vline_build(fq12 *l, const fq2 *x1, const fq *px) {
+    memset(l, 0, sizeof *l);
+    l->c0.c0.c0 = *px;
+    f2_neg(&l->c0.c2, x1);
+}
+
 static void miller(fq12 *f, const fq *px, const fq *py,
                    const fq2 *qx, const fq2 *qy) {
-    ept Qp, Rp;
-    fq12 xt, yt, l;
-    untwist(&Qp, qx, qy);
-    memset(&xt, 0, sizeof xt);
-    memset(&yt, 0, sizeof yt);
-    xt.c0.c0.c0 = *px;        /* embed G1 coords in Fq12 */
-    yt.c0.c0.c0 = *py;
+    fq2 xq, yq, xr, yr, s, num, den, t;
+    fq12 l;
+    /* twist coordinates: x' = qx/xi, y' = qy/xi */
+    f2_mul(&xq, qx, &XI_INV);
+    f2_mul(&yq, qy, &XI_INV);
+    xr = xq;
+    yr = yq;
+    int rinf = 0;
     f12_one(f);
-    Rp = Qp;
-    /* bits of BLS_X from the second-highest down */
     int top = 63;
     while (top >= 0 && !((BLS_X >> top) & 1)) top--;
     for (int i = top - 1; i >= 0; i--) {
         f12_sqr(f, f);
-        line_eval(&l, &Rp, &Rp, &xt, &yt);
-        f12_mul(f, f, &l);
-        ept_double(&Rp, &Rp);
+        if (!rinf) {
+            if (f2_is_zero(&yr)) {          /* tangent vertical (2-torsion;
+                                               unreachable for r-order Q) */
+                vline_build(&l, &xr, px);
+                f12_mul(f, f, &l);
+                rinf = 1;
+            } else {
+                /* twist curve y^2 = xi x^3 + 4/xi: tangent slope
+                 * s = 3 xi x^2 / (2y), and x1+x2+x3 = s^2/xi */
+                f2_sqr(&t, &xr);
+                f2_add(&num, &t, &t);
+                f2_add(&num, &num, &t);      /* 3 x^2 */
+                f2_mul_xi(&num, &num);
+                f2_add(&den, &yr, &yr);
+                f2_inv(&den, &den);
+                f2_mul(&s, &num, &den);
+                line_build(&l, &s, &xr, &yr, px, py);
+                f12_mul(f, f, &l);
+                f2_sqr(&t, &s);
+                f2_mul(&t, &t, &XI_INV);
+                f2_sub(&t, &t, &xr);
+                f2_sub(&t, &t, &xr);          /* x3 */
+                f2_sub(&num, &xr, &t);
+                f2_mul(&num, &s, &num);
+                f2_sub(&yr, &num, &yr);       /* y3 */
+                xr = t;
+            }
+        }
         if ((BLS_X >> i) & 1) {
-            line_eval(&l, &Rp, &Qp, &xt, &yt);
-            f12_mul(f, f, &l);
-            ept_add(&Rp, &Rp, &Qp);
+            if (rinf) {
+                xr = xq;
+                yr = yq;
+                rinf = 0;
+            } else if (f2_eq(&xr, &xq)) {
+                if (f2_eq(&yr, &yq)) {        /* R == Q: tangent step */
+                    f2_sqr(&t, &xr);
+                    f2_add(&num, &t, &t);
+                    f2_add(&num, &num, &t);
+                    f2_mul_xi(&num, &num);
+                    f2_add(&den, &yr, &yr);
+                    f2_inv(&den, &den);
+                    f2_mul(&s, &num, &den);
+                } else {                      /* R == -Q: vertical */
+                    vline_build(&l, &xr, px);
+                    f12_mul(f, f, &l);
+                    rinf = 1;
+                    continue;
+                }
+                line_build(&l, &s, &xr, &yr, px, py);
+                f12_mul(f, f, &l);
+                f2_sqr(&t, &s);
+                f2_mul(&t, &t, &XI_INV);
+                f2_sub(&t, &t, &xr);
+                f2_sub(&t, &t, &xq);
+                f2_sub(&num, &xr, &t);
+                f2_mul(&num, &s, &num);
+                f2_sub(&yr, &num, &yr);
+                xr = t;
+            } else {
+                f2_sub(&num, &yq, &yr);
+                f2_sub(&den, &xq, &xr);
+                f2_inv(&den, &den);
+                f2_mul(&s, &num, &den);
+                line_build(&l, &s, &xr, &yr, px, py);
+                f12_mul(f, f, &l);
+                f2_sqr(&t, &s);
+                f2_mul(&t, &t, &XI_INV);
+                f2_sub(&t, &t, &xr);
+                f2_sub(&t, &t, &xq);
+                f2_sub(&num, &xr, &t);
+                f2_mul(&num, &s, &num);
+                f2_sub(&yr, &num, &yr);
+                xr = t;
+            }
         }
     }
     /* BLS_X is negative for BLS12-381 */
     f12_conj(f, f);
+}
+
+/* ---------------- final exponentiation ---------------- */
+
+/* 4-way Straus multi-exp with shared squarings and 4-bit windows:
+ * r = prod_k b[k]^(e_k), exponents big-endian, `dlen` bytes each. */
+static void straus4(fq12 *r, const fq12 b[4], const uint8_t *e, int dlen) {
+    static fq12 tab[4][16];
+    for (int k = 0; k < 4; k++) {
+        f12_one(&tab[k][0]);
+        tab[k][1] = b[k];
+        for (int d = 2; d < 16; d++)
+            f12_mul(&tab[k][d], &tab[k][d - 1], &b[k]);
+    }
+    fq12 acc;
+    f12_one(&acc);
+    int started = 0;
+    for (int byte = 0; byte < dlen; byte++) {
+        for (int half = 0; half < 2; half++) {
+            if (started)
+                for (int q = 0; q < 4; q++) f12_sqr(&acc, &acc);
+            for (int k = 0; k < 4; k++) {
+                int nib = half ? (e[k * dlen + byte] & 0xF)
+                               : (e[k * dlen + byte] >> 4);
+                if (nib) {
+                    f12_mul(&acc, &acc, &tab[k][nib]);
+                    started = 1;
+                }
+            }
+        }
+    }
+    *r = acc;
+}
+
+/* f -> f^((q^12-1)/r).  e_digits: the base-p digits e0..e3 of
+ * (p^4-p^2+1)/r, big-endian, edig_len/4 bytes each. */
+static void final_exp(fq12 *r, const fq12 *f,
+                      const uint8_t *e_digits, int edig_len) {
+    fq12 f1, t, y, b[4];
+    f12_conj(&f1, f);
+    f12_inv(&t, f);
+    f12_mul(&f1, &f1, &t);           /* f^(p^6 - 1) */
+    f12_frob(&t, &f1);
+    f12_frob(&t, &t);
+    f12_mul(&y, &t, &f1);            /* ^(p^2 + 1): easy part done */
+    b[0] = y;
+    f12_frob(&b[1], &b[0]);
+    f12_frob(&b[2], &b[1]);
+    f12_frob(&b[3], &b[2]);
+    straus4(r, b, e_digits, edig_len / 4);
 }
 
 /* ---------------- G1 (E(Fq): y^2 = x^3 + 4) Jacobian ---------------- */
@@ -670,31 +758,68 @@ static void g1j_add(g1j *r, const g1j *p, const g1j *q) {
  * scalars: k*32 bytes big-endian; out: 12 u64 raw affine + *out_inf. */
 void g1_msm(const u64 *pts, const uint8_t *infs, const uint8_t *scalars,
             int k, u64 *out, uint8_t *out_inf) {
-    g1j acc;
+    g1j acc, t;
     g1j_inf(&acc);
-    for (int i = 0; i < k; i++) {
+    /* shared-squaring Straus with 4-bit windows: per-point tables of
+     * P..15P, then one pass of 4 doublings per nibble position with a
+     * table add per point.  ~256 dbl + k*(14+60) adds vs the naive
+     * per-point ladder's k*(256 dbl + 128 add). */
+    #define MSM_KMAX 96
+    static g1j tab[MSM_KMAX][16];
+    int idx[MSM_KMAX];
+    int kk = 0;
+    for (int i = 0; i < k && kk < MSM_KMAX; i++) {
         if (infs[i]) continue;
-        g1j p, t;
+        g1j p;
+        memcpy(p.x.c, pts + i * 12, 6 * sizeof(u64));
+        memcpy(p.y.c, pts + i * 12 + 6, 6 * sizeof(u64));
+        fq_to_mont(&p.x, &p.x);
+        fq_to_mont(&p.y, &p.y);
+        fq_one(&p.z);
+        g1j_inf(&tab[kk][0]);
+        tab[kk][1] = p;
+        for (int d = 2; d < 16; d++)
+            g1j_add(&tab[kk][d], &tab[kk][d - 1], &p);
+        idx[kk] = i;
+        kk++;
+    }
+    int started = 0;
+    for (int byte = 0; byte < 32; byte++) {
+        for (int half = 0; half < 2; half++) {
+            if (started)
+                for (int q = 0; q < 4; q++) { g1j_double(&t, &acc); acc = t; }
+            for (int j = 0; j < kk; j++) {
+                const uint8_t b = scalars[idx[j] * 32 + byte];
+                int nib = half ? (b & 0xF) : (b >> 4);
+                if (nib) {
+                    g1j_add(&t, &acc, &tab[j][nib]);
+                    acc = t;
+                    started = 1;
+                }
+            }
+        }
+    }
+    /* overflow tail (k > MSM_KMAX): naive ladder, never hit by the
+     * verifier's ~20-40 term combinations */
+    for (int i = 0; i < k; i++) {
+        int in_tab = 0;
+        for (int j = 0; j < kk; j++) if (idx[j] == i) { in_tab = 1; break; }
+        if (in_tab || infs[i]) continue;
+        g1j p, ps, sum;
         memcpy(p.x.c, pts + i * 12, 6 * sizeof(u64));
         memcpy(p.y.c, pts + i * 12 + 6, 6 * sizeof(u64));
         fq_to_mont(&p.x, &p.x);
         fq_to_mont(&p.y, &p.y);
         fq_one(&p.z);
         const uint8_t *s = scalars + i * 32;
-        g1j ps = p;
-        g1j sum;
+        ps = p;
         g1j_inf(&sum);
-        /* LSB-first double-and-add over the 256-bit scalar */
-        for (int byte = 31; byte >= 0; byte--) {
+        for (int byte = 31; byte >= 0; byte--)
             for (int bit = 0; bit < 8; bit++) {
-                if ((s[byte] >> bit) & 1) {
-                    g1j_add(&t, &sum, &ps);
-                    sum = t;
-                }
+                if ((s[byte] >> bit) & 1) { g1j_add(&t, &sum, &ps); sum = t; }
                 g1j_double(&t, &ps);
                 ps = t;
             }
-        }
         g1j_add(&t, &acc, &sum);
         acc = t;
     }
@@ -716,16 +841,73 @@ void g1_msm(const u64 *pts, const uint8_t *infs, const uint8_t *scalars,
     memcpy(out + 6, ay.c, 6 * sizeof(u64));
 }
 
+/* debug exports: raw Miller value and standalone final exp */
+static void f12_store_raw(const fq12 *f, u64 *out) {
+    const fq *coeffs = (const fq *)f;
+    for (int i = 0; i < 12; i++) {
+        fq raw;
+        fq_from_mont(&raw, &coeffs[i]);
+        memcpy(out + i * 6, raw.c, 6 * sizeof(u64));
+    }
+}
+static void f12_load_raw(fq12 *f, const u64 *in) {
+    fq *coeffs = (fq *)f;
+    for (int i = 0; i < 12; i++) {
+        memcpy(coeffs[i].c, in + i * 6, 6 * sizeof(u64));
+        fq_to_mont(&coeffs[i], &coeffs[i]);
+    }
+}
+void dbg_miller(const u64 *g1, const u64 *g2,
+                const uint8_t *pm1d6, int pm1d6_len, u64 *out) {
+    frob_init(pm1d6, pm1d6_len);
+    fq px, py;
+    fq2 qx, qy;
+    memcpy(px.c, g1, 6 * sizeof(u64));
+    memcpy(py.c, g1 + 6, 6 * sizeof(u64));
+    memcpy(qx.c0.c, g2, 6 * sizeof(u64));
+    memcpy(qx.c1.c, g2 + 6, 6 * sizeof(u64));
+    memcpy(qy.c0.c, g2 + 12, 6 * sizeof(u64));
+    memcpy(qy.c1.c, g2 + 18, 6 * sizeof(u64));
+    fq_to_mont(&px, &px);
+    fq_to_mont(&py, &py);
+    fq_to_mont(&qx.c0, &qx.c0);
+    fq_to_mont(&qx.c1, &qx.c1);
+    fq_to_mont(&qy.c0, &qy.c0);
+    fq_to_mont(&qy.c1, &qy.c1);
+    fq12 m;
+    miller(&m, &px, &py, &qx, &qy);
+    f12_store_raw(&m, out);
+}
+void dbg_finalexp(const u64 *in, const uint8_t *pm1d6, int pm1d6_len,
+                  const uint8_t *edig, int edig_len, u64 *out) {
+    frob_init(pm1d6, pm1d6_len);
+    fq12 f;
+    f12_load_raw(&f, in);
+    final_exp(&f, &f, edig, edig_len);
+    f12_store_raw(&f, out);
+}
+void dbg_frob(const u64 *in, const uint8_t *pm1d6, int pm1d6_len,
+              u64 *out) {
+    frob_init(pm1d6, pm1d6_len);
+    fq12 f;
+    f12_load_raw(&f, in);
+    f12_frob(&f, &f);
+    f12_store_raw(&f, out);
+}
+
 /* g1s: k * 12 u64 (x, y raw little-endian limbs)
  * g2s: k * 24 u64 (x.c0, x.c1, y.c0, y.c1)
  * infs: k bytes, nonzero -> skip pair
- * qsq / ehard: big-endian exponent bytes for the final exponentiation
+ * pm1d6: (p-1)/6 big-endian bytes (Frobenius constant exponent)
+ * edig: the 4 base-p digits of (p^4-p^2+1)/r, big-endian,
+ *       edig_len/4 bytes each, lowest digit first
  * out: 72 u64 — the final Fq12, raw (non-Montgomery) limbs in order
  *      c0.c0.c0, c0.c0.c1, c0.c1.c0, ..., c1.c2.c1 */
 void multi_pairing(const u64 *g1s, const u64 *g2s, const uint8_t *infs,
-                   int k, const uint8_t *qsq, int qsq_len,
-                   const uint8_t *ehard, int ehard_len, u64 *out) {
+                   int k, const uint8_t *pm1d6, int pm1d6_len,
+                   const uint8_t *edig, int edig_len, u64 *out) {
     fq12 f, m;
+    frob_init(pm1d6, pm1d6_len);
     f12_one(&f);
     for (int i = 0; i < k; i++) {
         if (infs[i]) continue;
@@ -746,15 +928,7 @@ void multi_pairing(const u64 *g1s, const u64 *g2s, const uint8_t *infs,
         miller(&m, &px, &py, &qx, &qy);
         f12_mul(&f, &f, &m);
     }
-    /* final exponentiation (host.py final_exponentiation):
-     * easy: f1 = conj(f) * f^-1 ; f2 = f1^(q^2) * f1 ; hard: f2^e */
-    fq12 f1, f2, t;
-    f12_conj(&f1, &f);
-    f12_inv(&t, &f);
-    f12_mul(&f1, &f1, &t);
-    f12_pow_bytes(&f2, &f1, qsq, qsq_len);
-    f12_mul(&f2, &f2, &f1);
-    f12_pow_bytes(&f, &f2, ehard, ehard_len);
+    final_exp(&f, &f, edig, edig_len);
     /* serialize raw */
     fq *coeffs = (fq *)&f;
     for (int i = 0; i < 12; i++) {

@@ -164,7 +164,8 @@ def _gather_chunk(pxy_rows, order, ssign, starts, ends, base, n, kc):
     return pts, msk
 
 
-def _msm_body_v3(n, P, c, coeffs, pxy_rows, interpret=False, to_raw=True):
+def _msm_body_v3(n, P, c, coeffs, pxy_rows, interpret=False, to_raw=True,
+                 reduce=True):
     """(L, P, n) Montgomery scalars + (n, 2L) row-major points ->
     ((L, G) raw Jacobian window sums, anomaly count).  to_raw=False
     keeps the sums in Montgomery form for on-device consumption
@@ -232,6 +233,8 @@ def _msm_body_v3(n, P, c, coeffs, pxy_rows, interpret=False, to_raw=True):
 
     _, ax, ay, az, anom_acc = jax.lax.while_loop(cond, body, state)
     anom = jnp.sum(anom_acc)
+    if not reduce:      # profiling: bucket accumulation only
+        return (ax, ay, az), anom
 
     # ---- weighted reduction: double suffix ladder over the shared
     # per-step jadd kernel (one small Mosaic kernel reused ~14x; a fully

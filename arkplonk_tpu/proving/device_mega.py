@@ -476,18 +476,37 @@ def prove_mega(device_prover, dpk):
     r = _rounds(n, c, (s.pos, s.pos_begin, s.cur_flags))
     pxy = dpk.msm.pxy
     st = s.state
+
+    import os as _os
+    import time as _time
+    _prof = _os.environ.get("ARKPLONK_MEGA_TIMING") == "1"
+
+    def _sync(label, x):
+        # readback-sync per round (PROFILING ONLY: breaks the zero-sync
+        # pipeline, each sync pays ~0.1s of tunnel latency)
+        if _prof:
+            t0 = _time.time()
+            np.asarray(jax.device_get(x))
+            print(f"[mega] {label}: +{_time.time() - t0:.3f}s "
+                  f"(since start {_time.time() - _T0:.3f}s)", flush=True)
+
+    _T0 = _time.time()
     (st, zeta, coeffs5, x1, y1, i1, an1) = r.f1(st, wire_evals, pxy)
+    _sync("round1", st)
     (st, beta, gamma, delta, epsilon, cf, lookup_evals, lookup_coeffs,
      x2, y2, i2, an2, bad) = r.f2(st, zeta, wire_evals, mask,
                                   dpk.table_cols, pxy)
+    _sync("round2", st)
     (st, alpha, range_ch, logic_ch, fixed_ch, var_ch, lookup_ch,
      z_poly, z2_poly, x3, y3, i3, an3) = r.f3(
         st, wire_evals, dpk.sigma_lagrange, cf, lookup_evals,
         beta, gamma, delta, epsilon, pxy)
+    _sync("round3", st)
     (st, z_ch, t_stack, x4, y4, i4, an4) = r.f4(
         st, dpk.sel4, dpk.sig4, coeffs5, z_poly, z2_poly, lookup_coeffs,
         alpha, beta, gamma, delta, epsilon, zeta, range_ch, logic_ch,
         fixed_ch, var_ch, lookup_ch, pxy)
+    _sync("round4", st)
     xs13 = jnp.concatenate([x1, x2, x3, x4], axis=1)
     ys13 = jnp.concatenate([y1, y2, y3, y4], axis=1)
     infs13 = jnp.concatenate([i1, i2, i3, i4])
@@ -497,6 +516,7 @@ def prove_mega(device_prover, dpk):
         range_ch, logic_ch, fixed_ch, var_ch, lookup_ch,
         coeffs5, dpk.sel_coeffs, dpk.sig_coeffs, lookup_coeffs,
         z_poly, z2_poly, t_stack, xs13, ys13, infs13, anoms, bad, pxy)
+    _sync("round5", flat)
 
     flat = np.asarray(jax.device_get(flat))
     Lq = FQ.L

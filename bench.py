@@ -9,17 +9,46 @@ vs_baseline = reference prove time at the same size on the Ryzen 7 3700X
 (BASELINE.md) divided by ours, i.e. >1.0 means faster than the reference.
 
 Environment knobs:
-  BENCH_LOG2N   headline circuit size exponent (default 12)
-  BENCH_SWEEP   comma list of extra exponents to sweep (e.g. "10,12,14");
-                per-size results + counters land in BENCH_SWEEP.json
-  BENCH_BACKEND "device" (default) or "host"
-  BENCH_ITERS   steady-state prove iterations per size (default 2)
+  BENCH_LOG2N    headline circuit size exponent (default 12)
+  BENCH_SWEEP    comma list of extra exponents to sweep (e.g. "10,12,14");
+                 per-size results + counters land in BENCH_SWEEP.json
+  BENCH_BACKEND  "device" (default) or "host"
+  BENCH_ITERS    steady-state prove iterations per size (default 2)
+  BENCH_DEADLINE wall-clock budget in seconds (default 1100).  A watchdog
+                 thread prints the best-so-far JSON line and exits the
+                 process when the budget expires, so a hung stage (cold
+                 XLA compile through the TPU tunnel) can never produce an
+                 empty artifact.
+  BENCH_COUNTERS "0" to skip the throughput counters
 """
 
 import json
 import os
 import random
+import threading
 import time
+
+_RESULT = {"metric": "plonk_prove", "value": None, "unit": "s",
+           "vs_baseline": None, "detail": {"status": "starting"}}
+_RESULT_LOCK = threading.Lock()
+_PRINTED = False
+
+
+def _emit(final: bool) -> None:
+    global _PRINTED
+    with _RESULT_LOCK:
+        if _PRINTED:
+            return
+        _PRINTED = True
+        print(json.dumps(_RESULT), flush=True)
+
+
+def _watchdog(deadline_s: float) -> None:
+    time.sleep(deadline_s)
+    with _RESULT_LOCK:
+        _RESULT["detail"]["status"] = "deadline_hit_partial"
+    _emit(final=False)
+    os._exit(0)
 
 
 REFERENCE_MS = {
@@ -147,45 +176,59 @@ def main():
     log2n = int(os.environ.get("BENCH_LOG2N", "12"))
     backend = os.environ.get("BENCH_BACKEND", "device")
     iters = int(os.environ.get("BENCH_ITERS", "2"))
+    # round-1's driver bench run finished at ~1250 s (rc=0) and round-2's
+    # was killed (rc=124), so the driver budget is somewhere in between;
+    # 1100 s keeps the partial-result emission inside it with margin
+    deadline = float(os.environ.get("BENCH_DEADLINE", "1100"))
     sweep = [int(x) for x in os.environ.get("BENCH_SWEEP", "").split(",")
              if x.strip()]
-    sizes = sorted(set(sweep + [log2n]))
+    # headline size first so the watchdog's partial result carries it
+    sizes = [log2n] + [x for x in sorted(set(sweep)) if x != log2n]
+
+    threading.Thread(target=_watchdog, args=(deadline,),
+                     daemon=True).start()
 
     import jax
     from arkplonk_tpu.pcs import kzg
 
+    detail = {"backend": backend, "sizes": {}, "status": "running"}
+    with _RESULT_LOCK:
+        _RESULT["metric"] = f"plonk_prove_2e{log2n}"
+        _RESULT["detail"] = detail
+
     t0 = time.time()
     srs = kzg.SRS.setup((1 << max(sizes)) + 8)
-    t_srs = time.time() - t0
+    with _RESULT_LOCK:
+        detail["srs_s"] = round(time.time() - t0, 2)
+        detail["platform"] = jax.devices()[0].platform
 
-    results = {}
     for lg in sizes:
-        results[lg] = bench_size(lg, backend, srs, iters)
+        r = bench_size(lg, backend, srs, iters)
+        with _RESULT_LOCK:
+            detail["sizes"][lg] = r
+            if lg == log2n:
+                _RESULT["value"] = r["prove_s"]
+                _RESULT["vs_baseline"] = r["vs_ref_prove"]
+                detail["status"] = "headline_done"
 
-    detail = {
-        "backend": backend,
-        "srs_s": round(t_srs, 2),
-        "platform": jax.devices()[0].platform,
-        "sizes": results,
-    }
     if os.environ.get("BENCH_COUNTERS", "1") not in ("0", ""):
         try:
-            detail["counters"] = counters()
+            c = counters()
         except Exception as e:  # counters must never sink the bench
-            detail["counters_error"] = repr(e)
+            c = None
+            with _RESULT_LOCK:
+                detail["counters_error"] = repr(e)
+        if c is not None:
+            with _RESULT_LOCK:
+                detail["counters"] = c
 
+    with _RESULT_LOCK:
+        detail["status"] = "complete"
+        detail["total_s"] = round(time.time() - t0, 1)
     if sweep:
         with open("BENCH_SWEEP.json", "w") as f:
             json.dump(detail, f, indent=1)
-
-    head = results[log2n]
-    print(json.dumps({
-        "metric": f"plonk_prove_2e{log2n}",
-        "value": head["prove_s"],
-        "unit": "s",
-        "vs_baseline": head["vs_ref_prove"],
-        "detail": detail,
-    }))
+    _emit(final=True)
 
 
 if __name__ == "__main__":

@@ -11,9 +11,6 @@ jax.config.update before any backend initializes.
 
 import os
 
-os.environ.setdefault("ARKPLONK_CACHE", "0")  # CPU AOT cache entries fail
-# machine-feature validation in this sandbox; keep the cache device-only.
-
 # Small Pallas blocks: interpret-mode kernel tests then run a single
 # grid step instead of 8 (the kernel body is block-size agnostic).
 os.environ.setdefault("ARKPLONK_PALLAS_LANES", "128")
@@ -27,6 +24,9 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# NOTE: do NOT enable the persistent XLA compile cache here — this sandbox
-# records CPU AOT entries with machine features that fail validation on
-# reload, so every lookup thrashes (observed: >8x slowdown).
+# Persistent compile cache: re-verified working for CPU AOT entries in
+# this sandbox (round 3); cuts the mostly-compile-bound suite wall time
+# across processes.  ARKPLONK_CACHE=0 opts out.
+from arkplonk_tpu import perf  # noqa: E402
+
+perf.maybe_enable_compile_cache()

@@ -77,6 +77,9 @@ class StandardComposer:
         self.zero_var = 0
         self.zero_var = self.add_witness_to_circuit_description(0)
 
+        # Blinding rows (composer.rs:241-243)
+        self.add_blinding_factors()
+
     @classmethod
     def with_expected_size(cls, expected_size: int, rng=None):
         """Capacity-hint constructor (composer.rs:202).  Python lists grow
@@ -84,8 +87,6 @@ class StandardComposer:
         cs = cls(rng=rng)
         cs.expected_size = expected_size
         return cs
-        # Blinding rows (composer.rs:241-243)
-        self.add_blinding_factors()
 
     # ------------------------------------------------------------------ core
 

@@ -21,8 +21,8 @@ from arkplonk_tpu.proving import serde
 pytestmark = pytest.mark.skipif(
     CURVE != "bls12_381", reason="fixture is BLS12-381")
 
-PROOF_SHA = "425bd1cd32dae5d4ec7a68800d8e62eb1e535170de4c31f9590d11371307e73f"
-VK_SHA = "371168b25d329c3d226151bb4ad4ac8a63b645992cbd8be6374117dc528507ee"
+PROOF_SHA = "bed78235e467dc0bda6a2581894fa11e71dc88bfaca3a16cd02ec3dad40ee67b"
+VK_SHA = "c95c1ea3fe0f10c3c96d45d5eafe60041aaf6cd287230a98da34f14779a0fe87"
 PROOF_LEN = 1591
 VK_LEN = 968
 

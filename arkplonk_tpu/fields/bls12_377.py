@@ -40,6 +40,7 @@ TWIST = "D"
 G1_X = 0x008848DEFE740A67C8FC6225BF87FF5485951E2CAA9D41BB188282C8BD37CB5CD5481512FFCD394EEAB9B16EB21BE9EF
 G1_Y = 0x01914A69C5102EFF1F674F5D30AFEEC4BD7FB348CA3E52D96D182AD44FB82305C2FE3D3634A9591AFD82DE55559C8EA6
 G1_B = 1
+G1_COFACTOR = 0x170B5D44300000000000000000000000
 
 # --- G2 --------------------------------------------------------------------
 G2_X_C0 = 0x018480BE71C785FEC89630A2A3841D01C565F071203E50317EA501F557DB6B9B71889F52BB53540274E3E48F7C005196

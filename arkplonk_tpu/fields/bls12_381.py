@@ -30,6 +30,7 @@ TWIST = "M"
 G1_X = 0x17F1D3A73197D7942695638C4FA9AC0FC3688C4F9774B905A14E3A3F171BAC586C55E83FF97A1AEFFB3AF00ADB22C6BB
 G1_Y = 0x08B3F481E3AAA0F1A09E30ED741D8AE4FCF5E095D5D00AF600DB18CB2C04B3EDD03CC744A2888AE40CAA232946C5E7E1
 G1_B = 4
+G1_COFACTOR = 0x396C8C005555E1568C00AAAB0000AAAB
 
 # --- G2 (over Fq2 = Fq[u]/(u^2+1)) ----------------------------------------
 G2_X_C0 = 0x024AA2B2F08F0A91260805272DC51051C6E47AD4FA403B02B4510B647AE3D1770BAC0326A805BBEFD48056C8C121BDB8

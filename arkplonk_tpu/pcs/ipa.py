@@ -21,23 +21,46 @@ from ..transcript.merlin import Transcript
 from ..transcript import serialize as ser
 from .kzg import poly_add, poly_scale, poly_eval
 
-G1_COFACTOR = 0x396C8C005555E1568C00AAAB0000AAAB
+# ark-poly-commit 0.3 ipa_pc::InnerProductArgPC::PROTOCOL_NAME — the
+# reference instantiates InnerProductArgPC<G1Affine, Blake2s, ...>
+# (plonk-core/src/test.rs:96-110, commitment.rs:52-63)
+_PROTOCOL_NAME = b"PC-DL-2020"
 
 
-def _hash_to_g1(seed: bytes):
-    """Deterministic generator derivation: try-and-increment on x, then
-    clear the cofactor."""
-    counter = 0
-    while True:
-        h = hashlib.sha256(seed + counter.to_bytes(4, "little")).digest()
-        x = int.from_bytes(h + hashlib.sha256(h).digest(), "little") % Q
-        rhs = (x * x % Q * x + 4) % Q
-        y = sqrt_mod(rhs, Q)
-        if y is not None:
-            p = cv.jac_to_affine(cv.jac_mul((x, y, 1), G1_COFACTOR))
-            if p is not None:
-                return p
-        counter += 1
+def _from_random_bytes(digest: bytes):
+    """ark-ec 0.3 GroupAffine::from_random_bytes on a 32-byte Blake2s
+    digest: x = LE(digest zero-padded to 48 bytes), flag bits live in the
+    top byte (always 0 here, so greatest=False -> the smaller y root),
+    None when x is not on the curve."""
+    x = int.from_bytes(digest, "little")
+    if x >= Q:
+        return None
+    rhs = (x * x % Q * x + cv.C.G1_B) % Q
+    y = sqrt_mod(rhs, Q)
+    if y is None:
+        return None
+    y = min(y, Q - y)  # greatest=False
+    return (x, y)
+
+
+def _sample_generator(i: int):
+    """ipa_pc::sample_generators body for index i: Blake2s over
+    PROTOCOL_NAME || i_le8 (then || j_le8 on retries), point from the
+    digest, cofactor cleared.  Follows ark-poly-commit 0.3; byte-level
+    equality with arkworks is unvalidated in this sandbox (no network,
+    no Rust) but the construction is the same."""
+    h = hashlib.blake2s(
+        _PROTOCOL_NAME + i.to_bytes(8, "little")).digest()
+    p = _from_random_bytes(h)
+    j = 0
+    while p is None:
+        h = hashlib.blake2s(
+            _PROTOCOL_NAME + i.to_bytes(8, "little")
+            + j.to_bytes(8, "little")).digest()
+        p = _from_random_bytes(h)
+        j += 1
+    return cv.jac_to_affine(
+        cv.jac_mul(cv.jac_from_affine(p), cv.C.G1_COFACTOR))
 
 
 class IPASetup:
@@ -52,12 +75,15 @@ class IPASetup:
         return len(self.g) - 1
 
     @staticmethod
-    def setup(max_degree: int, seed: bytes = b"arkplonk-tpu-ipa") -> "IPASetup":
+    def setup(max_degree: int, seed: bytes = b"") -> "IPASetup":
+        """Generators follow ipa_pc 0.3's sample_generators layout:
+        indices 0..size are the commitment key, the next index is the
+        hiding/binding point (arkworks' h; our U)."""
+        del seed  # derivation is protocol-fixed, like the reference's
         # pad the basis to a power of two (the folding needs it)
         size = max(2, 1 << (max_degree).bit_length())
-        gens = [_hash_to_g1(seed + b"/g" + i.to_bytes(4, "little"))
-                for i in range(size)]
-        u = _hash_to_g1(seed + b"/u")
+        gens = [_sample_generator(i) for i in range(size)]
+        u = _sample_generator(size)
         return IPASetup(gens, u)
 
     def trim(self, supported_degree: int) -> "IPASetup":

@@ -18,6 +18,26 @@ def test_generators_distinct_on_curve():
         assert g1_is_on_curve(p)
 
 
+def test_generator_derivation_frozen():
+    """Blake2s(PC-DL-2020 || i_le8) derivation per ark-poly-commit 0.3
+    sample_generators (commitment.rs:52-63 instantiates Blake2s); frozen
+    so any drift in the digest schedule or point decoding is caught.
+    The points are prime-order (cofactor cleared)."""
+    import hashlib
+    from arkplonk_tpu.curve import host as cv
+    from arkplonk_tpu.fields.host import CURVE
+    from arkplonk_tpu.transcript import serialize as ser
+    if CURVE != "bls12_381":
+        return
+    g0, g1 = SETUP.g[0], SETUP.g[1]
+    d = hashlib.sha256(
+        ser.g1_to_bytes(g0) + ser.g1_to_bytes(g1)).hexdigest()
+    assert d == ("bdd5a36bb8b39b56ecc3c3f6416f2d35"
+                 "7c9e6093dce16e4b4a383c9c2da8cb9a")
+    assert cv.jac_to_affine(
+        cv.jac_mul(cv.jac_from_affine(g0), cv.R)) is None
+
+
 def test_open_check_single():
     p = [RNG.randrange(R) for _ in range(20)]
     c = ipa.commit(SETUP, p)

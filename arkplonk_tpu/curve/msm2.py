@@ -110,9 +110,12 @@ def recombine_windows(pts, P: int, W: int, c: int):
 
 def pick_window(n: int) -> int:
     """Minimize W*(n + reduction): accumulation is ~n adds per window,
-    split reduction ~4*2^(c-1) adds per window."""
+    split reduction ~4*2^(c-1) adds per window.  The floor extends down
+    to c=2 so that tiny point sets (e.g. a 2-point shard of a sharded
+    MSM on a wide mesh) don't pay a 2^5-bucket reduction per window for
+    buckets that are almost all empty."""
     best, best_cost = 8, None
-    for c in range(6, 17):
+    for c in range(2, 17):
         W = _window_plan(c)[0]
         cost = W * (n + 4 * (1 << (c - 1)))
         if best_cost is None or cost < best_cost:

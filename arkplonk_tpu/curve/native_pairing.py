@@ -71,6 +71,10 @@ def load():
         ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint8)]
+    lib.g1_fixed_base_powers.argtypes = [
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_long, ctypes.POINTER(ctypes.c_uint64),
+        ctypes.POINTER(ctypes.c_uint8)]
     _LIB = lib
     return lib
 
@@ -127,6 +131,42 @@ def multi_pairing(pairs):
         return (f2_at(j), f2_at(j + 2), f2_at(j + 4))
 
     return (f6_at(0), f6_at(6))
+
+
+def g1_fixed_base_powers(g, scalars):
+    """[s*G for s in scalars] via the C windowed fixed-base core
+    (native/pairing.c g1_fixed_base_powers); returns affine int tuples
+    (None for s == 0).  Replaces the Python ladder in kzg.SRS.setup —
+    at 2^18 that ladder costs tens of minutes, this a few seconds."""
+    import numpy as np
+    lib = load()
+    assert lib is not None
+    count = len(scalars)
+    base = (ctypes.c_uint64 * 12)()
+    base[0:6] = _limbs(g[0] % Q)
+    base[6:12] = _limbs(g[1] % Q)
+    sc = bytearray(32 * count)
+    for i, s in enumerate(scalars):
+        sc[i * 32:(i + 1) * 32] = (s % R).to_bytes(32, "little")
+    scb = (ctypes.c_uint8 * (32 * count)).from_buffer(sc)
+    out = (ctypes.c_uint64 * (12 * count))()
+    infs = (ctypes.c_uint8 * max(count, 1))()
+    lib.g1_fixed_base_powers(base, scb, count, out, infs)
+    arr = np.ctypeslib.as_array(out).reshape(count, 12)
+    lo = arr.astype(object)
+    pts = []
+    for i in range(count):
+        if infs[i]:
+            pts.append(None)
+            continue
+        row = lo[i]
+        x = 0
+        y = 0
+        for k in range(5, -1, -1):
+            x = (x << 64) | int(row[k])
+            y = (y << 64) | int(row[6 + k])
+        pts.append((x, y))
+    return pts
 
 
 def g1_msm(points, scalars):

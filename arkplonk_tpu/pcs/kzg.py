@@ -102,7 +102,17 @@ class SRS:
 
 
 def _fixed_base_powers(g, tau: int, count: int):
-    """[tau^i]G for i<count via windowed fixed-base multiplication."""
+    """[tau^i]G for i<count via windowed fixed-base multiplication.
+
+    Native C fast path (native/pairing.c g1_fixed_base_powers) when the
+    curve is BLS12-381; exact-Python ladder otherwise (golden model,
+    cross-checked in tests/test_kzg.py)."""
+    from ..curve import native_pairing
+    if native_pairing.available():
+        taus = [1] * count
+        for i in range(1, count):
+            taus[i] = taus[i - 1] * tau % R
+        return native_pairing.g1_fixed_base_powers(g, taus)
     # precompute window tables for g: table[w][d] = d * 2^(8w) * g  (Jacobian)
     window = 8
     num_windows = (255 + window - 1) // window

@@ -937,3 +937,92 @@ void multi_pairing(const u64 *g1s, const u64 *g2s, const uint8_t *infs,
         memcpy(out + i * 6, raw.c, 6 * sizeof(u64));
     }
 }
+
+/* ---------------- SRS generation (fixed-base powers) ----------------
+ *
+ * out[i] = scalars[i] * G.  Native replacement for the Python
+ * _fixed_base_powers in pcs/kzg.py (the reference gets this from
+ * ark-poly-commit's KZG10::setup, plonk-core/src/commitment.rs:29-37):
+ * at 2^18 the Python windowed ladder costs tens of minutes; this core
+ * runs it in seconds, so large-n SRS setup is never the bench
+ * bottleneck.
+ *
+ * base_xy: 12 u64 raw affine G; scalars: count*32 bytes LITTLE-endian;
+ * out: count*12 u64 raw affine; out_infs: count bytes (nonzero =
+ * identity, only for scalar == 0 mod r).
+ *
+ * Windowed fixed-base: table[w][d] = d * 2^(8w) * G for w < 32,
+ * d < 256 (one-time ~16k adds), then each output is <= 31 table adds;
+ * Jacobian -> affine via one shared batch inversion. */
+#include <stdlib.h>
+
+void g1_fixed_base_powers(const u64 *base_xy, const uint8_t *scalars,
+                          long count, u64 *out, uint8_t *out_infs) {
+    enum { WIN = 8, NWIN = 32, TSZ = 1 << WIN };
+    g1j *table = (g1j *)malloc(sizeof(g1j) * NWIN * TSZ);
+    g1j *jac = (g1j *)malloc(sizeof(g1j) * (size_t)count);
+    fq *pre = (fq *)malloc(sizeof(fq) * ((size_t)count + 1));
+    if (!table || !jac || !pre) { free(table); free(jac); free(pre); return; }
+
+    g1j base;
+    memcpy(base.x.c, base_xy, 6 * sizeof(u64));
+    memcpy(base.y.c, base_xy + 6, 6 * sizeof(u64));
+    fq_to_mont(&base.x, &base.x);
+    fq_to_mont(&base.y, &base.y);
+    fq_one(&base.z);
+
+    for (int w = 0; w < NWIN; w++) {
+        g1j *row = table + (size_t)w * TSZ;
+        g1j_inf(&row[0]);
+        row[1] = base;
+        for (int d = 2; d < TSZ; d++)
+            g1j_add(&row[d], &row[d - 1], &base);
+        if (w + 1 < NWIN) {
+            g1j t;
+            for (int b = 0; b < WIN; b++) { g1j_double(&t, &base); base = t; }
+        }
+    }
+
+    for (long i = 0; i < count; i++) {
+        const uint8_t *s = scalars + i * 32;
+        g1j acc, t;
+        g1j_inf(&acc);
+        for (int w = 0; w < NWIN; w++) {
+            const uint8_t d = s[w];
+            if (d) { g1j_add(&t, &acc, &table[(size_t)w * TSZ + d]); acc = t; }
+        }
+        jac[i] = acc;
+    }
+
+    /* batch inversion of the z coordinates (Montgomery trick) */
+    fq_one(&pre[0]);
+    for (long i = 0; i < count; i++) {
+        out_infs[i] = (uint8_t)g1j_is_inf(&jac[i]);
+        if (out_infs[i])
+            pre[i + 1] = pre[i];
+        else
+            fq_mul(&pre[i + 1], &pre[i], &jac[i].z);
+    }
+    fq t_inv;
+    fq_inv(&t_inv, &pre[count]);
+    for (long i = count - 1; i >= 0; i--) {
+        if (out_infs[i]) {
+            memset(out + i * 12, 0, 12 * sizeof(u64));
+            continue;
+        }
+        fq zi, zi2, zi3, ax, ay;
+        fq_mul(&zi, &t_inv, &pre[i]);
+        fq_mul(&t_inv, &t_inv, &jac[i].z);
+        fq_sqr(&zi2, &zi);
+        fq_mul(&zi3, &zi2, &zi);
+        fq_mul(&ax, &jac[i].x, &zi2);
+        fq_mul(&ay, &jac[i].y, &zi3);
+        fq_from_mont(&ax, &ax);
+        fq_from_mont(&ay, &ay);
+        memcpy(out + i * 12, ax.c, 6 * sizeof(u64));
+        memcpy(out + i * 12 + 6, ay.c, 6 * sizeof(u64));
+    }
+    free(table);
+    free(jac);
+    free(pre);
+}

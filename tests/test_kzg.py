@@ -69,3 +69,25 @@ def test_open_check_aggregate():
 def test_zero_poly_commit():
     srs = _srs(8)
     assert kzg.commit(srs, [0, 0, 0]) is None
+
+
+def test_native_fixed_base_powers_matches_python():
+    """SRS generation: C windowed fixed-base (native/pairing.c
+    g1_fixed_base_powers) must agree with the exact-Python ladder and
+    with per-scalar G1.mul (reference SRS semantics:
+    commitment.rs:29-37 KZG10::setup powers of tau)."""
+    from arkplonk_tpu.curve import native_pairing as npr
+    if not npr.available():
+        import pytest
+        pytest.skip("native pairing core unavailable")
+    rng = random.Random(42)
+    tau = rng.randrange(1, R)
+    count = 33
+    taus = [pow(tau, i, R) for i in range(count)]
+    native = npr.g1_fixed_base_powers(cv.G1_GEN, taus)
+    for i in (0, 1, 2, 17, 32):
+        assert native[i] == cv.G1.mul(cv.G1_GEN, taus[i])
+    # edge scalars: 0 -> identity, r-1 -> -G
+    edge = npr.g1_fixed_base_powers(cv.G1_GEN, [0, R - 1])
+    assert edge[0] is None
+    assert edge[1] == cv.G1.mul(cv.G1_GEN, R - 1)

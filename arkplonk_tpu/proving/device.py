@@ -400,6 +400,69 @@ def _enc_stack(lists):
     return FR.to_mont(raw)
 
 
+@functools.lru_cache(maxsize=None)
+def _expand_narrow_fn(P: int, n: int, tier: str):
+    """Jitted expander: narrow signed balanced residues -> (L, P, n)
+    Montgomery limbs.  tier 'i32': input (P, n) int32; tier 'i64':
+    input (P, n, 2) u32 two's-complement halves (|value| < 2^62)."""
+    @jax.jit
+    def f(packed):
+        if tier == "i32":
+            y = packed.astype(jnp.int32)
+            neg = y < 0
+            a = jnp.where(neg, -y, y).astype(U32)
+            limbs = jnp.stack(
+                [a & 0xFFFF, a >> 16]
+                + [jnp.zeros((P, n), U32)] * (FR.L - 2), axis=0)
+        else:
+            lo, hi = packed[..., 0], packed[..., 1]
+            neg = (hi >> 31).astype(jnp.bool_)
+            nlo = (~lo) + jnp.uint32(1)
+            carry = (nlo == 0) & neg
+            alo = jnp.where(neg, nlo, lo)
+            ahi = jnp.where(neg, (~hi) + carry.astype(U32), hi)
+            limbs = jnp.stack(
+                [alo & 0xFFFF, alo >> 16, ahi & 0xFFFF, ahi >> 16]
+                + [jnp.zeros((P, n), U32)] * (FR.L - 4), axis=0)
+            neg = neg[None]
+        raw = jnp.where(neg if tier == "i64" else neg[None],
+                        FR.sub(FR.zeros((P, n)), limbs), limbs)
+        return FR.to_mont(raw)
+
+    return f
+
+
+def enc_stack_narrow(lists):
+    """_enc_stack with a narrow upload: values are shipped as balanced
+    residues (x or x - R, whichever is small) in the narrowest dtype
+    that covers them — int32 or u32-pair int64 — and expanded to
+    Montgomery limbs on device.  The tunnel moves ~1.3 MB/s, so the
+    4-16x byte reduction dominates large-n upload time (at 2^18 full
+    selector limbs are ~268 MB).  Falls back to full limbs when any
+    value's balanced residue exceeds 62 bits."""
+    half = R >> 1
+    i32max = 1 << 31
+    i62max = 1 << 62
+    P, n = len(lists), len(lists[0])
+    bal = np.empty((P, n), dtype=np.int64)
+    tier = "i32"
+    for i, lst in enumerate(lists):
+        row = bal[i]
+        for j, x in enumerate(lst):
+            x %= R
+            y = x if x <= half else x - R
+            if y >= i62max or y < -i62max:
+                return _enc_stack(lists)
+            if y >= i32max or y < -i32max:
+                tier = "i64"
+            row[j] = y
+    if tier == "i32":
+        return _expand_narrow_fn(P, n, "i32")(
+            jnp.asarray(bal.astype(np.int32)))
+    halves = bal.view(np.uint32).reshape(P, n, 2)
+    return _expand_narrow_fn(P, n, "i64")(jnp.asarray(halves))
+
+
 def _dec_stack(arr):
     """(L, P, n) or (L, n) Montgomery device array -> nested int lists."""
     vals = FR.decode_fast(arr)

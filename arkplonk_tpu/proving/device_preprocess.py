@@ -73,7 +73,7 @@ def device_preprocess(cs, srs, transcript, msm):
     Mutates `cs` exactly like the host preprocess_shared (table build +
     pad); appends the same transcript seed bytes.  Returns
     (DeviceProverKey, VerifierKey)."""
-    from .device import DeviceProverKey, _enc_stack
+    from .device import DeviceProverKey, enc_stack_narrow
     from ..pcs import kzg
 
     n = cs.circuit_bound()
@@ -86,8 +86,8 @@ def device_preprocess(cs, srs, transcript, msm):
 
     sel_lists = [getattr(cs, name) for name in SELECTOR_NAMES]
     table_lists = [col.elems for col in columns]
-    evals16 = _enc_stack([[x % R for x in lst]
-                          for lst in sel_lists + table_lists])
+    evals16 = enc_stack_narrow([[x % R for x in lst]
+                                for lst in sel_lists + table_lists])
 
     sigmas = perm_mod.compute_sigma_permutations(cs.variable_map, n)
     kind = np.array([[k for (k, _) in s] for s in sigmas], np.int32)

@@ -69,3 +69,25 @@ def test_device_prover_matches_host():
     build_gadget(verifier.cs)
     verifier.preprocess(SRS)
     assert verifier.verify(dev_proof, SRS, pis)
+
+
+def test_enc_stack_narrow_matches_full():
+    """Narrow signed-residue upload == full-limb encoding for every
+    tier (i32 / i64 / full-limb fallback) and at the tier boundaries."""
+    import numpy as np
+    import jax
+    from arkplonk_tpu.proving.device import _enc_stack, enc_stack_narrow
+
+    rng = random.Random(11)
+    cases = [
+        [[0, 1, 2, 3], [4, 5, R - 1, R - 3]],            # i32 (+neg)
+        [[1 << 40, R - (1 << 40), 7, 9]],                # i64
+        [[rng.randrange(R) for _ in range(4)]],          # full fallback
+        [[(1 << 31), R - (1 << 31), (1 << 31) - 1, R - (1 << 31) + 1]],
+        [[(1 << 62) - 1, R - (1 << 62) + 1, 0, 1]],
+        [[(1 << 62), R - (1 << 62), 5, 6]],              # just past i62
+    ]
+    for i, lists in enumerate(cases):
+        a = np.asarray(jax.device_get(_enc_stack(lists)))
+        b = np.asarray(jax.device_get(enc_stack_narrow(lists)))
+        assert (a == b).all(), f"case {i} mismatch"

@@ -95,17 +95,8 @@ def jac_double(p) -> tuple:
 def jac_add(p, q) -> tuple:
     """P + Q, complete via selects (handles identity, doubling, inverse).
 
-    ARKPLONK_FUSED_POINT=1 opts into the fused Pallas kernel
-    (curve/pallas_point.py: all ~36 Fq muls in one Mosaic kernel).
-    EXPERIMENTAL: correct, but the ~60k-op kernel currently takes >9 min
-    of Mosaic compile on the sandbox TPU — round-2 work splits it."""
-    import os
-    if os.environ.get("ARKPLONK_FUSED_POINT") == "1" and not FQ._pallas_off:
-        from ..fields import pallas_mont
-        if pallas_mont.pallas_enabled():
-            from . import pallas_point
-            with FQ.pallas_disabled():  # the kernel body IS the mul code
-                return pallas_point.jac_add_pallas(p, q)
+    The fused per-add Mosaic kernel lives in curve/pallas_jac.py (madd/
+    jadd, used by the MSM); this jnp form is the composable fallback."""
     return _jac_add_jnp(p, q)
 
 

@@ -99,19 +99,6 @@ def main():
         dt = timeit_chain(f, p, q, iters=10)
         print(f"jac_add_jnp n={n}  {n/dt/1e6:9.2f} M/s   {dt*1e3:8.3f} ms/call")
 
-    if "jac_add_fused" in which:
-        n = 1 << 16
-        from arkplonk_tpu.curve import pallas_point as pp
-        p = rand_points(n, 1)
-        q = rand_points(n, 2)
-        f = jax.jit(lambda p, q: pp.jac_add_pallas(p, q))
-        t0 = time.perf_counter()
-        out = f(p, q)
-        jax.block_until_ready(out)
-        print(f"jac_add_fused compile: {time.perf_counter()-t0:.1f}s")
-        dt = timeit_chain(f, p, q, iters=10)
-        print(f"jac_add_fus n={n}  {n/dt/1e6:9.2f} M/s   {dt*1e3:8.3f} ms/call")
-
 
 if __name__ == "__main__":
     main()

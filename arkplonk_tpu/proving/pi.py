@@ -33,16 +33,21 @@ def to_bytes(pi: dict) -> bytes:
     return out
 
 
-def barycentric_eval(evals: list, point: int, domain: host.Domain) -> int:
-    """proof.rs:635-677"""
+def barycentric_eval(evals, point: int, domain: host.Domain) -> int:
+    """proof.rs:635-677.  `evals` is a dense list or the sparse
+    {position: value} PI map — the verifier stays O(#nonzero PIs), not
+    O(n) (the dense walk alone costs ~0.3 s of host Python at 2^18)."""
     numerator = (pow(point, domain.size, R) - 1) % R * domain.size_inv % R
-    nonzero = [i for i, e in enumerate(evals) if e % R != 0]
-    if not nonzero:
+    if isinstance(evals, dict):
+        items = sorted((i, v) for i, v in evals.items() if v % R != 0)
+    else:
+        items = [(i, e) for i, e in enumerate(evals) if e % R != 0]
+    if not items:
         return 0
     gi = domain.group_gen_inv
-    denoms = [(pow(gi, i, R) * point - 1) % R for i in nonzero]
+    denoms = [(pow(gi, i, R) * point - 1) % R for i, _ in items]
     denoms = host.batch_inv(denoms)
     acc = 0
-    for i, d in zip(nonzero, denoms):
-        acc = (acc + evals[i] * d) % R
+    for (_, v), d in zip(items, denoms):
+        acc = (acc + v * d) % R
     return acc * numerator % R

@@ -94,7 +94,7 @@ class Proof:
         l1_eval = compute_first_lagrange_evaluation(
             n, z_h_eval, z_challenge)
 
-        r0 = self._compute_r0(domain, pi_mod.as_evals(public_inputs, n),
+        r0 = self._compute_r0(domain, public_inputs,
                               alpha, beta, gamma, delta, epsilon,
                               z_challenge, l1_eval, lookup_ch)
 

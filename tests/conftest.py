@@ -24,9 +24,17 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compile cache: re-verified working for CPU AOT entries in
-# this sandbox (round 3); cuts the mostly-compile-bound suite wall time
-# across processes.  ARKPLONK_CACHE=0 opts out.
+# Persistent compile cache, in a CPU-only directory separate from the
+# TPU entries (.jax_cache).  Two concurrent suite/dryrun processes once
+# interleaved writes in the shared dir and produced an entry whose
+# DESERIALIZATION segfaulted every later full-suite run (crash inside
+# compilation_cache.get_executable_and_time) — keep test-cache writers
+# isolated, and wipe this dir if a load ever crashes again.
+# ARKPLONK_CACHE=0 opts out.
+os.environ.setdefault(
+    "ARKPLONK_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache_cpu"))
 from arkplonk_tpu import perf  # noqa: E402
 
 perf.maybe_enable_compile_cache()

@@ -83,6 +83,40 @@ def ntt_scaling(n, mesh_sizes):
             "efficiency": {d: round(base / (out[d] * d), 3) for d in out}}
 
 
+def msm_scaling(n, mesh_sizes):
+    """Point-partitioned Pippenger across the mesh vs single device.
+    Uses a small synthetic point set (mesh-size-divisible)."""
+    from arkplonk_tpu.curve import host as cv, msm2
+
+    rng = np.random.default_rng(3)
+    base = [cv.G1.mul(cv.G1_GEN,
+                      int.from_bytes(rng.bytes(31), "little") % cv.R)
+            for _ in range(64)]
+    pts = (base * ((n + 63) // 64))[:n]
+    stack = _rand_stack(n, 2, seed=4)
+    out = {}
+    result0 = None
+    for d in mesh_sizes:
+        mesh = ms.make_mesh(d)
+        m = (msm2.ShardedPippengerMSM(mesh, pts) if d > 1
+             else msm2.PippengerMSM(pts))
+        t_best = None
+        for _ in range(3):
+            t0 = time.time()
+            r = m.commit_mont_batch(stack)
+            dt = time.time() - t0
+            t_best = dt if t_best is None else min(t_best, dt)
+        if result0 is None:
+            result0 = r
+        else:
+            assert r == result0, f"mesh={d} result diverged (bit-exactness)"
+        out[d] = round(t_best * 1e3, 2)
+    base_ms = out[mesh_sizes[0]]
+    return {"ms": out, "bit_exact_across_mesh_shapes": True,
+            "efficiency": {d: round(base_ms / (out[d] * d), 3)
+                           for d in out}}
+
+
 def main():
     lg = int(sys.argv[1]) if len(sys.argv) > 1 else 14
     n = 1 << lg
@@ -95,8 +129,12 @@ def main():
                         "numbers are NOT hardware scaling)"),
         "log2n": lg,
         "ntt": ntt_scaling(n, sizes),
+        "msm": msm_scaling(min(n, 1 << 12), sizes),
     }
     print(json.dumps(detail, indent=1))
+    if os.environ.get("SCALING_OUT"):
+        with open(os.environ["SCALING_OUT"], "w") as f:
+            json.dump(detail, f, indent=1)
 
 
 if __name__ == "__main__":

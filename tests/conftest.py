@@ -24,17 +24,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compile cache, in a CPU-only directory separate from the
-# TPU entries (.jax_cache).  Two concurrent suite/dryrun processes once
-# interleaved writes in the shared dir and produced an entry whose
-# DESERIALIZATION segfaulted every later full-suite run (crash inside
-# compilation_cache.get_executable_and_time) — keep test-cache writers
-# isolated, and wipe this dir if a load ever crashes again.
-# ARKPLONK_CACHE=0 opts out.
-os.environ.setdefault(
-    "ARKPLONK_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 ".jax_cache_cpu"))
+# NO persistent compile cache for the suite.  XLA:CPU executable
+# (de)serialization segfaults on specific programs in this jaxlib —
+# three full-suite runs crashed inside compilation_cache
+# put/get_executable_and_time at the same MSM program (solo runs pass
+# because an unloaded machine compiles it in <1 s, below the persist
+# threshold, so the serializer never runs).  The suite is stable and
+# ~10 min without the cache; set ARKPLONK_CACHE=1 to opt back in.
+os.environ.setdefault("ARKPLONK_CACHE", "0")
 from arkplonk_tpu import perf  # noqa: E402
 
 perf.maybe_enable_compile_cache()

@@ -39,8 +39,11 @@ def enable_compile_cache(path: str | None = None) -> None:
     # persist anything that took >=1s to compile: tunnel-served TPU
     # compiles cost seconds to minutes each, and the big CPU mesh
     # programs (dryrun/tests) cost minutes; sub-second entries are not
-    # worth the serialization/disk churn (hundreds per test run)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # worth the serialization/disk churn (hundreds per test run).
+    # ARKPLONK_CACHE_MIN_S overrides (the dryrun entry point persists
+    # aggressively: its wall budget is dominated by many ~0.5s compiles)
+    min_s = float(os.environ.get("ARKPLONK_CACHE_MIN_S", "1.0"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", min_s)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     # a cache problem must never break a prove
     jax.config.update("jax_raise_persistent_cache_errors", False)

@@ -8,29 +8,35 @@ device (TPU) prover; prints ONE JSON line:
 vs_baseline = reference prove time at the same size on the Ryzen 7 3700X
 (BASELINE.md) divided by ours, i.e. >1.0 means faster than the reference.
 
+Watchdog architecture: the measurement runs in a CHILD process (its own
+process group); the parent is pure-stdlib, never imports jax, and kills
+the child group at the deadline.  Round 2 used an in-process watchdog
+thread, which never fired because the tunnel client holds the GIL across
+multi-minute compile RPCs — the artifact came back empty (rc=124).  A
+separate process cannot be blocked that way: ONE JSON line is guaranteed
+on stdout within BENCH_DEADLINE seconds, whatever jax/XLA does.
+
 Environment knobs:
   BENCH_LOG2N    pin a single circuit size exponent.  Unset (the driver
-                 default): the ladder [18, 12, 16] runs best-size-first
-                 and the JSON line reports the best vs_baseline among
-                 completed proves.
+                 default): the ladder [12, 18, 16] runs and the JSON
+                 line reports the best vs_baseline among completed sizes.
   BENCH_SWEEP    comma list of extra exponents to append;
                  per-size results + counters land in BENCH_SWEEP.json
   BENCH_BACKEND  "device" (default) or "host"
   BENCH_ITERS    steady-state prove iterations per size (default 2)
-  BENCH_DEADLINE wall-clock budget in seconds (default 1100).  A watchdog
-                 thread prints the best-so-far JSON line and exits the
-                 process when the budget expires, so a hung stage (cold
-                 XLA compile through the TPU tunnel) can never produce an
-                 empty artifact.
+  BENCH_DEADLINE wall-clock budget in seconds (default 900)
   BENCH_COUNTERS "0" to skip the throughput counters
 """
 
 import json
 import os
-import random
+import signal
+import subprocess
 import sys
-import threading
 import time
+
+PROGRESS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".bench_progress.json")
 
 
 def _log(msg: str) -> None:
@@ -38,27 +44,71 @@ def _log(msg: str) -> None:
     print(f"[bench {time.strftime('%H:%M:%S')}] {msg}",
           file=sys.stderr, flush=True)
 
+
+# ----------------------------------------------------------------------
+# Parent: spawn the child in its own process group, enforce the deadline,
+# and print the single JSON line from the progress file.
+# ----------------------------------------------------------------------
+
+def parent_main() -> int:
+    deadline = float(os.environ.get("BENCH_DEADLINE", "900"))
+    t0 = time.time()
+    try:
+        os.unlink(PROGRESS_PATH)
+    except FileNotFoundError:
+        pass
+
+    env = dict(os.environ)
+    env["BENCH_T0"] = repr(t0)
+    child = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--inner"],
+        env=env, start_new_session=True)
+
+    killed = False
+    while True:
+        rc = child.poll()
+        if rc is not None:
+            break
+        if time.time() - t0 > deadline:
+            _log(f"deadline {deadline}s hit; killing child group")
+            killed = True
+            try:
+                os.killpg(child.pid, signal.SIGKILL)
+            except ProcessLookupError:
+                pass
+            child.wait()
+            break
+        time.sleep(1.0)
+
+    result = {"metric": "plonk_prove", "value": None, "unit": "s",
+              "vs_baseline": None, "detail": {"status": "no_progress"}}
+    try:
+        with open(PROGRESS_PATH) as f:
+            result = json.load(f)
+    except Exception as e:
+        result["detail"]["progress_error"] = repr(e)
+    if killed:
+        result.setdefault("detail", {})["status"] = "deadline_hit_partial"
+    elif rc != 0:
+        result.setdefault("detail", {})["child_rc"] = rc
+    print(json.dumps(result), flush=True)
+    return 0
+
+
+# ----------------------------------------------------------------------
+# Child: the actual measurement.  Writes best-so-far to PROGRESS_PATH
+# (atomic rename) at every milestone.
+# ----------------------------------------------------------------------
+
 _RESULT = {"metric": "plonk_prove", "value": None, "unit": "s",
            "vs_baseline": None, "detail": {"status": "starting"}}
-_RESULT_LOCK = threading.Lock()
-_PRINTED = False
 
 
-def _emit(final: bool) -> None:
-    global _PRINTED
-    with _RESULT_LOCK:
-        if _PRINTED:
-            return
-        _PRINTED = True
-        print(json.dumps(_RESULT), flush=True)
-
-
-def _watchdog(deadline_s: float) -> None:
-    time.sleep(deadline_s)
-    with _RESULT_LOCK:
-        _RESULT["detail"]["status"] = "deadline_hit_partial"
-    _emit(final=False)
-    os._exit(0)
+def _flush_progress() -> None:
+    tmp = PROGRESS_PATH + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(_RESULT, f)
+    os.replace(tmp, PROGRESS_PATH)
 
 
 REFERENCE_MS = {
@@ -89,10 +139,8 @@ def _report_partial(log2n: int, stage: str, t_prove=None,
     bound_only: a first-prove upper bound — only fills an empty result."""
     ref = REFERENCE_MS.get(log2n)
     vsb = ref[1] / 1000 / t_prove if (ref and t_prove) else None
-    with _RESULT_LOCK:
-        _RESULT["detail"]["stage"] = f"2^{log2n}:{stage}"
-        if t_prove is None:
-            return
+    _RESULT["detail"]["stage"] = f"2^{log2n}:{stage}"
+    if t_prove is not None:
         cur = _RESULT["vs_baseline"]
         if _RESULT["value"] is None or (
                 not bound_only and vsb is not None
@@ -100,9 +148,11 @@ def _report_partial(log2n: int, stage: str, t_prove=None,
             _RESULT["metric"] = f"plonk_prove_2e{log2n}"
             _RESULT["value"] = round(t_prove, 4)
             _RESULT["vs_baseline"] = round(vsb, 3) if vsb else None
+    _flush_progress()
 
 
 def bench_size(log2n: int, backend: str, srs, iters: int):
+    import random
     from arkplonk_tpu.proving.prover import Prover
     from arkplonk_tpu.proving.device import DeviceProver
 
@@ -214,79 +264,83 @@ def counters():
     return out
 
 
-def main():
+def child_main():
     backend = os.environ.get("BENCH_BACKEND", "device")
     iters = int(os.environ.get("BENCH_ITERS", "2"))
-    # round-1's driver bench ran to ~1250 s with rc=0, so the driver
-    # budget is at least ~1300 s; the watchdog emits the best-so-far
-    # line just inside it
-    deadline = float(os.environ.get("BENCH_DEADLINE", "1250"))
-    # Default ladder: ascending sizes — each completed size locks in a
-    # result (best vs_baseline wins; the ratio improves with n as the
-    # fixed per-dispatch tunnel tax amortizes), so a deadline cut during
-    # a cold compile at a bigger size still reports the best completed
-    # number.  BENCH_LOG2N pins a single size; BENCH_SWEEP appends.
+    t0_wall = float(os.environ.get("BENCH_T0", repr(time.time())))
+    deadline = float(os.environ.get("BENCH_DEADLINE", "900"))
+
+    def remaining():
+        return deadline - (time.time() - t0_wall)
+
+    # Default ladder: 2^12 first (locks in a comparable result fast),
+    # then 2^18 (the BASELINE headline size — the vs-reference ratio
+    # improves with n as fixed per-dispatch tunnel overhead amortizes),
+    # then 2^16.  The parent's kill handles overruns; each completed
+    # size locks in a best-so-far result.
     if "BENCH_LOG2N" in os.environ:
         sizes = [int(os.environ["BENCH_LOG2N"])]
         log2n = sizes[0]
     else:
-        sizes = [12, 16, 18]
+        sizes = [12, 18, 16]
         log2n = 12
     for x in os.environ.get("BENCH_SWEEP", "").split(","):
         if x.strip() and int(x) not in sizes:
             sizes.append(int(x))
 
-    threading.Thread(target=_watchdog, args=(deadline,),
-                     daemon=True).start()
-
     import jax
     from arkplonk_tpu.pcs import kzg
 
     detail = {"backend": backend, "sizes": {}, "status": "running"}
-    with _RESULT_LOCK:
-        _RESULT["metric"] = f"plonk_prove_2e{log2n}"
-        _RESULT["detail"] = detail
+    _RESULT["metric"] = f"plonk_prove_2e{log2n}"
+    _RESULT["detail"] = detail
+    _flush_progress()
 
     t0 = time.time()
     srs = kzg.SRS.setup((1 << max(sizes)) + 8)
-    with _RESULT_LOCK:
-        detail["srs_s"] = round(time.time() - t0, 2)
-        detail["platform"] = jax.devices()[0].platform
+    detail["srs_s"] = round(time.time() - t0, 2)
+    detail["platform"] = jax.devices()[0].platform
+    _flush_progress()
     _log(f"SRS 2^{max(sizes)} ready in {detail['srs_s']}s "
          f"(platform={detail['platform']}); sizes={sizes}")
 
     for lg in sizes:
+        if _RESULT["value"] is not None and remaining() < 60:
+            _log(f"2^{lg}: skipped ({remaining():.0f}s left)")
+            detail["sizes"][lg] = {"log2n": lg, "skipped": True}
+            continue
         try:
             r = bench_size(lg, backend, srs, iters)
         except Exception as e:   # a failed size must not sink the ladder
             _log(f"2^{lg}: FAILED {e!r}")
-            with _RESULT_LOCK:
-                detail["sizes"][lg] = {"log2n": lg, "error": repr(e)}
+            detail["sizes"][lg] = {"log2n": lg, "error": repr(e)}
+            _flush_progress()
             continue
-        with _RESULT_LOCK:
-            detail["sizes"][lg] = r
-            if lg == log2n:
-                detail["status"] = "headline_done"
+        detail["sizes"][lg] = r
+        if lg == log2n:
+            detail["status"] = "headline_done"
+        _flush_progress()
 
-    if os.environ.get("BENCH_COUNTERS", "1") not in ("0", ""):
+    if os.environ.get("BENCH_COUNTERS", "1") not in ("0", "") \
+            and remaining() > 45:
         try:
             c = counters()
         except Exception as e:  # counters must never sink the bench
             c = None
-            with _RESULT_LOCK:
-                detail["counters_error"] = repr(e)
+            detail["counters_error"] = repr(e)
         if c is not None:
-            with _RESULT_LOCK:
-                detail["counters"] = c
+            detail["counters"] = c
+        _flush_progress()
 
-    with _RESULT_LOCK:
-        detail["status"] = "complete"
-        detail["total_s"] = round(time.time() - t0, 1)
-    if sweep:
-        with open("BENCH_SWEEP.json", "w") as f:
-            json.dump(detail, f, indent=1)
-    _emit(final=True)
+    detail["status"] = "complete"
+    detail["total_s"] = round(time.time() - t0, 1)
+    with open("BENCH_SWEEP.json", "w") as f:
+        json.dump(detail, f, indent=1)
+    _flush_progress()
 
 
 if __name__ == "__main__":
-    main()
+    if "--inner" in sys.argv:
+        child_main()
+    else:
+        sys.exit(parent_main())

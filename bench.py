@@ -275,14 +275,14 @@ def child_main():
 
     # Default ladder: 2^12 first (locks in a comparable result fast),
     # then 2^18 (the BASELINE headline size — the vs-reference ratio
-    # improves with n as fixed per-dispatch tunnel overhead amortizes),
-    # then 2^16.  The parent's kill handles overruns; each completed
-    # size locks in a best-so-far result.
+    # improves with n as fixed per-dispatch tunnel overhead amortizes).
+    # The parent's kill handles overruns; each completed size locks in
+    # a best-so-far result.  Extra sizes go through BENCH_SWEEP.
     if "BENCH_LOG2N" in os.environ:
         sizes = [int(os.environ["BENCH_LOG2N"])]
         log2n = sizes[0]
     else:
-        sizes = [12, 18, 16]
+        sizes = [12, 18]
         log2n = 12
     for x in os.environ.get("BENCH_SWEEP", "").split(","):
         if x.strip() and int(x) not in sizes:

@@ -78,6 +78,115 @@ print("pairing-ok")
 
 
 @pytest.mark.slow
+def test_bls377_gadget_suite():
+    """Every gate family through gadget_tester on the second curve
+    config — the reference's batch_test! matrix row for BLS12-377 +
+    ed-on-bls12-377 (test.rs:96-138, circuit.rs:392-508), positive and
+    should-fail cases."""
+    out = _run("""
+import os
+os.environ["ARKPLONK_NATIVE_PAIRING"] = "0"
+import random
+from arkplonk_tpu.api.circuit import gadget_tester
+from arkplonk_tpu.pcs import kzg
+from arkplonk_tpu.fields.host import R
+from arkplonk_tpu.circuit import jubjub as te
+from arkplonk_tpu.circuit.lookup_table import LookupTable
+from arkplonk_tpu.errors import ProofVerificationError, ElementNotIndexed
+
+rng = random.Random(99)
+def det_rng():
+    return rng.randrange(0, 1 << 252)
+SRS = kzg.SRS.setup(1 << 11)
+
+def arith(cs):
+    a = cs.add_input(11); b = cs.add_input(7)
+    c = cs.arithmetic_gate((a, b, None), add=(1, 1))
+    d = cs.arithmetic_gate((a, c, None), mul=1)
+    cs.constrain_to_constant(d, 11 * 18)
+gadget_tester(arith, 16, srs=SRS, rng=det_rng)
+
+def range_ok(cs):
+    cs.range_gate(cs.add_input(250), 8)
+gadget_tester(range_ok, 64, srs=SRS, rng=det_rng)
+
+def range_bad(cs):
+    cs.range_gate(cs.add_input(256), 8)
+try:
+    gadget_tester(range_bad, 64, srs=SRS, rng=det_rng)
+    raise SystemExit("range_bad verified")
+except (ProofVerificationError, AssertionError):
+    pass
+
+def logic(cs):
+    a = cs.add_input(0b1011); b = cs.add_input(0b0110)
+    x = cs.xor_gate(a, b, 8); cs.constrain_to_constant(x, 0b1101)
+    y = cs.and_gate(a, b, 8); cs.constrain_to_constant(y, 0b0010)
+gadget_tester(logic, 64, srs=SRS, rng=det_rng)
+
+def lookup(cs):
+    cs.lookup_table = LookupTable.xor_table(0, 3)
+    a = cs.add_input(5); b = cs.add_input(3)
+    c = cs.add_input(6); d = cs.add_input((R - 1) % R)
+    cs.lookup_gate(a, b, c, d)
+gadget_tester(lookup, 128, srs=SRS, rng=det_rng)
+
+def lookup_bad(cs):
+    cs.lookup_table = LookupTable.xor_table(0, 2)
+    cs.lookup_gate(cs.add_input(1), cs.add_input(2), cs.add_input(9),
+                   cs.add_input((R - 1) % R))
+try:
+    gadget_tester(lookup_bad, 128, srs=SRS, rng=det_rng)
+    raise SystemExit("lookup_bad verified")
+except (ProofVerificationError, ElementNotIndexed, AssertionError):
+    pass
+
+G = te.GENERATOR
+def ecc(cs):
+    p1 = cs.add_affine(G)
+    p2 = cs.add_affine(te.mul(G, 2))
+    p3 = cs.point_addition_gate(p1, p2)
+    cs.assert_equal_public_point(p3, te.mul(G, 3))
+gadget_tester(ecc, 64, srs=SRS, rng=det_rng)
+
+def fbsm(cs):
+    s = 0x1234
+    sv = cs.add_input(s)
+    p = cs.fixed_base_scalar_mul(sv, G)
+    cs.assert_equal_public_point(p, te.mul(G, s))
+gadget_tester(fbsm, 512, srs=SRS, rng=det_rng)
+print("gadgets-377-ok")
+""", timeout=3600)
+    assert "gadgets-377-ok" in out
+
+
+@pytest.mark.slow
+def test_bls377_ipa_e2e():
+    """377 x IPA cell of the (curve x PCS) matrix (test.rs:96-138)."""
+    out = _run("""
+import os
+os.environ["ARKPLONK_NATIVE_PAIRING"] = "0"
+import random
+from arkplonk_tpu.api.circuit import gadget_tester
+from arkplonk_tpu.pcs import ipa as ipa_mod
+
+rng = random.Random(7)
+def det_rng():
+    return rng.randrange(0, 1 << 252)
+
+def gadget(cs):
+    a = cs.add_input(9); b = cs.add_input(4)
+    c = cs.arithmetic_gate((a, b, None), mul=1)
+    cs.constrain_to_constant(c, 36)
+
+setup = ipa_mod.IPASetup.setup(1 << 6)
+gadget_tester(gadget, 16, srs=setup, rng=det_rng, pcs=ipa_mod)
+print("ipa-377-ok")
+""", timeout=1800)
+    assert "ipa-377-ok" in out
+
+
+@pytest.mark.slow
 def test_bls377_host_prove_verify():
     out = _run("""
 import os

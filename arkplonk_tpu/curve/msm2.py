@@ -109,15 +109,26 @@ def recombine_windows(pts, P: int, W: int, c: int):
 
 
 def pick_window(n: int) -> int:
-    """Minimize W*(n + reduction): accumulation is ~n adds per window,
-    split reduction ~4*2^(c-1) adds per window.  The floor extends down
-    to c=2 so that tiny point sets (e.g. a 2-point shard of a sharded
-    MSM on a wide mesh) don't pay a 2^5-bucket reduction per window for
-    buckets that are almost all empty."""
+    """Window width from a measured v5e cost model of the v3 pipeline
+    (curve/msm3): chunked masked accumulation bounded by max bucket
+    occupancy (~2n/2^c with top-window replication), the fold+ladder
+    reduction, and the per-group bucket sort.  Constants calibrated on
+    the tunneled v5e at n=2^12 (kernel ~30M madd/s at 8x512-lane
+    blocks, ~2.5 ms per chunk launch+gather, sort ~0.12 us/key).
+    The floor extends down to c=2 so tiny point sets (e.g. a 2-point
+    shard on a wide mesh) don't pay a huge empty-bucket reduction."""
     best, best_cost = 8, None
     for c in range(2, 17):
         W = _window_plan(c)[0]
-        cost = W * (n + 4 * (1 << (c - 1)))
+        half = 1 << (c - 1)
+        lanes = 4 * W * half
+        occ = max(1.0, 2.0 * n / (1 << c))
+        max_occ = occ + 4.0 * occ ** 0.5 + 4.0
+        chunks = -(-int(max_occ) // 8)
+        acc = chunks * (2.5e-3 + 8 * lanes / 30e6)
+        ladder = (2 * (c - 1) + 8) * (0.7e-3 + lanes * 2 / 30e6)
+        sort = 8e-3 + 2e-9 * 4 * W * n   # measured: 17 ms at 8M keys
+        cost = acc + ladder + sort
         if best_cost is None or cost < best_cost:
             best, best_cost = c, cost
     return best

@@ -164,14 +164,33 @@ def _gather_chunk(pxy_rows, order, ssign, starts, ends, base, n, kc):
     return pts, msk
 
 
+def _top_window_plan(n, c):
+    """Replication plan for the degenerate top Pippenger window.
+
+    The signed-digit top window only has ~2^t + 2 distinct bucket ids
+    (t = 255 - c*(W-1) effective bits), so its buckets hold ~n/2^t
+    entries while full windows hold ~2n/2^c — the global max-occupancy
+    accumulation loop is then dominated by the top window (measured 611
+    vs mean 16 at n=2^12, c=9: 77 serial chunk rounds instead of ~5).
+    Spread each top bucket over R replicas (distinct bucket ids, folded
+    back before the weighted reduction): occupancy rebalances to the
+    full-window level."""
+    from .msm2 import FR_BITS as _FRB
+    W, _H = _window_plan(c)
+    half = 1 << (c - 1)
+    t = max(_FRB - c * (W - 1), 0)
+    B_top = (1 << t) + 2           # bucket ids used by the top window
+    R = max(half // B_top, 1)      # replicas that fit in [1, half]
+    return W, half, t, B_top, R
+
+
 def _msm_body_v3(n, P, c, coeffs, pxy_rows, interpret=False, to_raw=True,
                  reduce=True):
     """(L, P, n) Montgomery scalars + (n, 2L) row-major points ->
     ((L, G) raw Jacobian window sums, anomaly count).  to_raw=False
     keeps the sums in Montgomery form for on-device consumption
     (device_finish.recombine_device)."""
-    W, _H = _window_plan(c)
-    half = 1 << (c - 1)
+    W, half, _t, B_top, R = _top_window_plan(n, c)
     B = half
     G = P * W
     lanes = G * B
@@ -181,6 +200,13 @@ def _msm_body_v3(n, P, c, coeffs, pxy_rows, interpret=False, to_raw=True,
     use_pl = pallas_jac.use_pallas() or interpret
 
     bucket, sign = _digits(coeffs, n, P, c)
+    if R >= 2:
+        # replicate top-window buckets: id -> id + (i mod R) * B_top
+        iota_n = jax.lax.broadcasted_iota(U32, (1, n), 1)
+        gidx = jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0)
+        is_top = (gidx % W) == (W - 1)
+        repl = (iota_n % jnp.uint32(R)) * jnp.uint32(B_top)
+        bucket = jnp.where(is_top & (bucket != 0), bucket + repl, bucket)
     order, ssign, starts, ends = _sort_plan(bucket, sign, half, n)
     rounds = jnp.max(ends - starts).astype(jnp.int32)
 
@@ -236,32 +262,79 @@ def _msm_body_v3(n, P, c, coeffs, pxy_rows, interpret=False, to_raw=True,
     if not reduce:      # profiling: bucket accumulation only
         return (ax, ay, az), anom
 
-    # ---- weighted reduction: double suffix ladder over the shared
-    # per-step jadd kernel (one small Mosaic kernel reused ~14x; a fully
-    # fused one-launch variant was tried and costs ~40 min of Mosaic
-    # compile from the inlined add bodies)
+    # ---- replica fold + weighted reduction, ONE jadd call site.
+    # Phase 1 (Kf steps): fold the top window's replica buckets back
+    # (binary tree over the replica axis, stride B_top * 2^k).
+    # Phase 2 (2*levels steps): double suffix ladder = weighted bucket
+    # sum.  A single fori_loop with index-dependent shift/mask replaces
+    # statically-unrolled jadd launches: every inlined Mosaic payload is
+    # ~9 MB of serialized executable, so an unrolled ladder dominated
+    # program size (~145 MB/program) and tunnel-served compile time.
     flatx = pallas2.unpack(ax, lanes)
     flaty = pallas2.unpack(ay, lanes)
     flatz = pallas2.unpack(az, lanes)
 
-    def suffix_pass(tree, anom):
-        for k in range((B - 1).bit_length()):
-            s = 1 << k
-            shifted = []
-            for cc in tree:
-                c3 = cc.reshape(Lq, G, B)
-                c3 = jnp.concatenate(
-                    [c3[:, :, s:], jnp.zeros((Lq, G, s), U32)], axis=-1)
-                shifted.append(c3.reshape(Lq, G * B))
-            tree, a = pallas_jac.jadd(tree, tuple(shifted),
-                                      interpret=interpret)
-            anom = anom + a
-        return tree, anom
+    levels = (B - 1).bit_length()
+    Kf = (R - 1).bit_length() if R >= 2 else 0
+    iota_b = jnp.arange(B, dtype=jnp.int32)
+    if Kf:
+        r_idx = iota_b // B_top                       # replica per lane
+        top_lane = np.zeros((G, B), dtype=bool)
+        top_lane[np.arange(G) % W == W - 1, :] = True
+        top_lane = jnp.asarray(top_lane)
+        kill = top_lane & (r_idx[None, :] > 0)        # replica lanes
 
-    tree = (flatx, flaty, flatz)
-    tree, anom = suffix_pass(tree, anom)
-    tree, anom = suffix_pass(tree, anom)
-    heads = tuple(cc.reshape(Lq, G, B)[:, :, 0] for cc in tree)
+    def ladder_body(k, st):
+        tx, ty, tz, an = st
+        in_fold = k < Kf
+        if Kf:
+            # entering the ladder phase: drop folded replica lanes so
+            # the weighted suffix sum sees only ids < B_top
+            tz = jnp.where((k == Kf) & kill.reshape(-1)[None, :],
+                           jnp.uint32(0), tz)
+        kl = jnp.where(in_fold, k, jnp.mod(k - Kf, levels))
+        s = jnp.where(in_fold,
+                      jnp.int32(B_top) << kl, jnp.int32(1) << kl)
+        idx = iota_b + s
+        valid_b = idx < B
+        if Kf:
+            fold_ok = ((jnp.mod(r_idx, jnp.int32(2) << kl) == 0)
+                       & (r_idx + (jnp.int32(1) << kl) < R))
+            valid = jnp.where(in_fold,
+                              top_lane & (fold_ok & valid_b)[None, :],
+                              valid_b[None, :])         # (G, B) | (1, B)
+            valid = jnp.broadcast_to(valid, (G, B)).reshape(-1)
+        else:
+            valid = jnp.broadcast_to(valid_b[None, :], (G, B)).reshape(-1)
+        idxc = jnp.where(valid_b, idx, 0)
+
+        def shift(cc):
+            c3 = cc.reshape(Lq, G, B)
+            g = jnp.take(c3, idxc, axis=2)
+            # masked-out lanes become infinity (z=0): jadd's q_inf
+            # branch returns the left operand there
+            return jnp.where(valid.reshape(G, B)[None], g,
+                             jnp.uint32(0)).reshape(Lq, G * B)
+
+        (tx, ty, tz), a = pallas_jac.jadd(
+            (tx, ty, tz), (shift(tx), shift(ty), shift(tz)),
+            interpret=interpret)
+        return tx, ty, tz, an + a
+
+    n_steps = Kf + 2 * levels
+    if n_steps and interpret:
+        # interpret mode: unroll statically (the emulated kernel inside a
+        # fori_loop is pathologically slow under the CPU interpreter);
+        # same math, same kernel, concrete shift per step
+        st = (flatx, flaty, flatz, anom)
+        for k in range(n_steps):
+            st = ladder_body(k, st)
+        flatx, flaty, flatz, anom = st
+    elif n_steps:
+        flatx, flaty, flatz, anom = jax.lax.fori_loop(
+            0, n_steps, ladder_body, (flatx, flaty, flatz, anom))
+    heads = tuple(cc.reshape(Lq, G, B)[:, :, 0]
+                  for cc in (flatx, flaty, flatz))
     if to_raw:
         heads = tuple(FQ.from_mont(cc) for cc in heads)
     return heads, anom
@@ -271,6 +344,44 @@ def encode_points_rows(points):
     """Affine points -> (n, 2L) u32 row-major Montgomery limb array."""
     px, py, _ = g1.encode_points(points)
     return jnp.concatenate([px, py], axis=0).T.copy()
+
+
+@functools.lru_cache(maxsize=None)
+def _msm_win_fn(n: int, c: int):
+    """THE shared MSM program: (L, 4, n) Montgomery scalar stack +
+    (n, 2L) row-major points -> Montgomery Jacobian window sums
+    (3 x (Lq, 4W)) + anomaly count.
+
+    P is FIXED at 4 (smaller batches are zero-padded by the caller):
+    one compiled executable serves every commitment in preprocess and
+    all five prover rounds.  Padding columns are free — zero scalars
+    hit only the skipped bucket 0, so they never raise the dynamic
+    max-occupancy trip count of the accumulation loop."""
+
+    def fn(coeffs, pxy_rows):
+        return _msm_body_v3(n, 4, c, coeffs, pxy_rows, to_raw=False)
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def _finish_fn(c: int):
+    """THE shared MSM finish program: window sums (+ accumulated
+    anomaly) -> affine RAW coords, infinity flags, ark-serialize
+    compressed bytes, and the total anomaly count.  Device Horner
+    recombination (fused Mosaic kernel on TPU) + one Fermat inversion.
+    Like the MSM body, compiled once per window width and reused by
+    preprocess and all five prover rounds."""
+    from .device_finish import recombine_device, to_affine_bytes
+    W, _H = _window_plan(c)
+
+    @jax.jit
+    def fn(wx, wy, wz, anom):
+        (jx, jy, jz), a2 = recombine_device(wx, wy, wz, 4, W, c)
+        xraw, yraw, inf, byts = to_affine_bytes(jx, jy, jz)
+        return xraw, yraw, inf, byts, (anom + a2).reshape(1)
+
+    return fn
 
 
 class PippengerMSM3:
@@ -283,16 +394,28 @@ class PippengerMSM3:
         self.pxy = encode_points_rows(points)
 
     def _run(self, stack):
+        from ..fields.limb import limbs_to_vec
         L, P, n = stack.shape
         assert n == self.n, (n, self.n)
         c = pick_window(n)
-        W, _H = _window_plan(c)
-        outs = _msm_fn3(n, P, c)(stack, self.pxy)
-        ((wx, wy, wz), anom) = jax.device_get(outs)
-        if int(anom) > 0:
-            return self._host_fallback(stack)
-        pts = decode_raw_jacobian(wx, wy, wz)
-        return recombine_windows(pts, P, W, c)
+        out = []
+        for k in range(0, P, 4):
+            sub = stack[:, k:k + 4]
+            pp = sub.shape[1]
+            if pp < 4:
+                sub = jnp.concatenate(
+                    [sub, jnp.zeros((L, 4 - pp, n), sub.dtype)], axis=1)
+            (wx, wy, wz), anom = _msm_win_fn(n, c)(sub, self.pxy)
+            xraw, yraw, inf, _byts, an = _finish_fn(c)(wx, wy, wz, anom)
+            xh, yh, infh, anh = jax.device_get((xraw, yraw, inf, an))
+            if int(anh[0]) > 0:
+                out.extend(self._host_fallback(sub)[:pp])
+                continue
+            xs = limbs_to_vec(xh)
+            ys = limbs_to_vec(yh)
+            out.extend(None if int(infh[i]) else (xs[i], ys[i])
+                       for i in range(pp))
+        return out
 
     def _host_fallback(self, stack):
         from .host import msm_host
@@ -316,11 +439,3 @@ class PippengerMSM3:
         raw = jnp.asarray(encode_ints(vals, FR.L))
         stack = FR.to_mont(raw)[:, None, :]
         return self._run(stack)[0]
-
-
-@functools.lru_cache(maxsize=None)
-def _msm_fn3(n: int, P: int, c: int):
-    def fn(coeffs, pxy_rows):
-        return _msm_body_v3(n, P, c, coeffs, pxy_rows)
-
-    return jax.jit(fn)

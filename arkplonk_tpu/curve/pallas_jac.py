@@ -291,6 +291,84 @@ def _jadd_kernel(interpret: bool):
 
 
 @functools.lru_cache(maxsize=None)
+def _horner_kernel(c: int, W: int, interpret: bool):
+    """Whole Pippenger window recombination in ONE Mosaic kernel:
+    out_p = sum_w 2^(c*w) * S_{p,w}, state VMEM-resident.
+
+    The XLA-graph formulation (scan over windows of tiny (L, 4) point
+    ops) costs ~5 ms PER WINDOW on the tunnel backend — tiny-shape op
+    overhead dominates arithmetic 25x.  Here the flat Horner loop
+    (double every step, masked add of the next window sum every c-th
+    step) runs inside the kernel: ~(W-1)*c iterations of ~82k Mosaic
+    ops on one (L, 8, 128) tile ≈ 20 ms total, no per-step overhead.
+
+    Inputs: s{x,y,z}_ref (W, L, 8, 128) — window sum S_{p,w} in
+    [w, :, 0, p].  Output: (L, 8, 128) with result p in [:, 0, p]."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ops = _TileOps()
+    steps = (W - 1) * c
+
+    def kernel(sx, sy, sz, ox, oy, oz):
+        x0 = sx[W - 1]
+        y0 = sy[W - 1]
+        z0 = sz[W - 1]
+
+        def body(i, st):
+            x, y, z = st
+            x, y, z = _jdbl_formulas(x, y, z, ops)
+            add_now = (i % c) == (c - 1)
+            wc = jnp.where(add_now, W - 2 - i // c, 0)
+            gx = sx[wc]
+            gy = sy[wc]
+            gz = jnp.where(add_now, sz[wc], jnp.zeros_like(z0))
+            # gz=0 = infinity: jadd returns the accumulator unchanged
+            x, y, z, _ = _jadd_formulas(x, y, z, gx, gy, gz, ops)
+            return x, y, z
+
+        x, y, z = jax.lax.fori_loop(0, steps, body, (x0, y0, z0))
+        ox[...] = x
+        oy[...] = y
+        oz[...] = z
+
+    @jax.jit
+    def call(sx, sy, sz):  # (W, L, 8, 128) each
+        spec = pl.BlockSpec((W, L, S_SUB := pallas2.S_SUB, 128),
+                            lambda: (0, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+        ospec = pl.BlockSpec((L, pallas2.S_SUB, 128), lambda: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+        shp = jax.ShapeDtypeStruct((L, pallas2.S_SUB, 128), U32)
+        return pl.pallas_call(
+            kernel,
+            out_shape=(shp, shp, shp),
+            in_specs=[spec] * 3,
+            out_specs=(ospec, ospec, ospec),
+            interpret=interpret,
+        )(sx, sy, sz)
+
+    return call
+
+
+def horner_recombine(wx, wy, wz, P: int, W: int, c: int,
+                     interpret: bool = False):
+    """(L, G=P*W) Montgomery Jacobian window sums -> (L, P) totals via
+    the fused Mosaic Horner kernel (P <= 128 lanes)."""
+    S = pallas2.S_SUB
+
+    def prep(a):
+        a3 = a.reshape(L, P, W).transpose(2, 0, 1)       # (W, L, P)
+        pad = jnp.zeros((W, L, S * 128 - P), U32)
+        return jnp.concatenate([a3, pad], axis=2).reshape(W, L, S, 128)
+
+    ox, oy, oz = _horner_kernel(c, W, interpret)(
+        prep(wx), prep(wy), prep(wz))
+    return (ox.reshape(L, -1)[:, :P], oy.reshape(L, -1)[:, :P],
+            oz.reshape(L, -1)[:, :P])
+
+
+@functools.lru_cache(maxsize=None)
 def _jdbl_kernel(interpret: bool):
     from jax.experimental import pallas as pl
 

@@ -93,7 +93,13 @@ def _bitrev(i, k):
 # --- device tables ----------------------------------------------------------
 
 class DeviceDomain:
-    """Per-size precomputed tables for device NTTs (Montgomery form)."""
+    """Per-size precomputed tables for device NTTs (Montgomery form).
+
+    Registered as a jax pytree and passed to jitted stage programs as a
+    runtime ARGUMENT: a closed-over table becomes an HLO literal (hex
+    text in the module, re-serialized into every executable) — at
+    4n = 2^20 that is >300 MB of constants per program, which dominated
+    tunnel-served compile time and the persistent-cache entry size."""
 
     def __init__(self, n: int):
         self.host = host.Domain(n)
@@ -117,14 +123,36 @@ class DeviceDomain:
         # full root tables W[j] = w^j (doubles as the `linear_evaluations`
         # domain-elements table) and inverse
         self.roots = enc(powers(w, n))
+        self.roots_inv = enc(powers(wi, n))
         self.tw = self.roots[:, :max(n // 2, 1)]
-        self.tw_inv = enc(powers(wi, max(n // 2, 1)))
+        self.tw_inv = self.roots_inv[:, :max(n // 2, 1)]
         self.bitrev = jnp.asarray(
             np.array([_bitrev(i, self.k) for i in range(n)], dtype=np.int32))
         self.n_inv = jnp.asarray(FR.encode(self.host.size_inv))
         # coset scaling vectors g^i and g^-i (Montgomery form)
         self.coset_pow = enc(powers(self.host.coset_gen, n))
         self.coset_pow_inv = enc(powers(self.host.coset_gen_inv, n))
+
+    _LEAVES = ("roots", "roots_inv", "tw", "tw_inv", "bitrev", "n_inv",
+               "coset_pow", "coset_pow_inv")
+
+    def tree_flatten(self):
+        return tuple(getattr(self, a) for a in self._LEAVES), (self.n, self.k)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.n, obj.k = aux
+        obj.host = None  # host-side Domain not needed under trace
+        for a, v in zip(cls._LEAVES, children):
+            setattr(obj, a, v)
+        return obj
+
+
+jax.tree_util.register_pytree_node(
+    DeviceDomain,
+    DeviceDomain.tree_flatten,
+    DeviceDomain.tree_unflatten)
 
 
 @functools.lru_cache(maxsize=None)

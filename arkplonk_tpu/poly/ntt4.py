@@ -128,31 +128,25 @@ def _ntt_kernel(k: int, interpret: bool):
     return call
 
 
-@functools.lru_cache(maxsize=None)
-def _level_twiddle(n: int, n1: int, inverse: bool):
-    """(L, n2, n1) table of w_n^(i2*k1) (inverse root if inverse)."""
-    d = host.Domain(n)
-    w = d.group_gen_inv if inverse else d.group_gen
-    n2 = n // n1
-    rows = []
-    for i2 in range(n2):
-        base = pow(w, i2, host.R)
-        acc = 1
-        row = []
-        for _k1 in range(n1):
-            row.append(acc)
-            acc = acc * base % host.R
-        rows.append(row)
-    flat = [x for row in rows for x in row]
-    return _enc(flat).reshape(FR.L, n2, n1)  # numpy
+def _level_twiddle(roots, N: int, m: int, n1: int):
+    """(L, n2, n1) twiddles w_m^(i2*k1), gathered at runtime from the
+    full top-level (L, N) root table (stride N//m).  Gathering instead
+    of baking a host table keeps the table out of the executable (a
+    closed-over (L, 2^20) table is ~128 MB of HLO literal text)."""
+    n2 = m // n1
+    stride = N // m
+    i2 = jax.lax.broadcasted_iota(jnp.uint32, (n2, n1), 0)
+    k1 = jax.lax.broadcasted_iota(jnp.uint32, (n2, n1), 1)
+    # (i2*stride) < N <= 2^24 and k1 < 128 keep the product below 2^32
+    exp = ((i2 * jnp.uint32(stride)) % jnp.uint32(N) * k1) % jnp.uint32(N)
+    return roots[:, exp.astype(jnp.int32)]  # (L, n2, n1)
 
 
-def _const(x):
-    return jnp.asarray(x)
-
-
-def _ntt_last_axis(x, n: int, inverse: bool, interpret: bool):
-    """Exact NTT along the last axis of (L, B, n), natural in/out."""
+def _ntt_last_axis(x, n: int, inverse: bool, interpret: bool,
+                   roots, N: int):
+    """Exact NTT along the last axis of (L, B, n), natural in/out.
+    `roots` is the top-level (L, N) (inverse-)root table; the recursion
+    reads its levels' twiddles through strided gathers."""
     L, Bb, _ = x.shape
     if n <= KMAX:
         tw, brev = _stage_tables(n, inverse)
@@ -184,12 +178,14 @@ def _ntt_last_axis(x, n: int, inverse: bool, interpret: bool):
     n1 = KMAX
     n2 = n // n1
     v = x.reshape(L, Bb, n1, n2).transpose(0, 1, 3, 2)   # (L,B,n2,n1)
-    v = _ntt_last_axis(v.reshape(L, Bb * n2, n1), n1, inverse, interpret)
+    v = _ntt_last_axis(v.reshape(L, Bb * n2, n1), n1, inverse, interpret,
+                       roots, N)
     v = v.reshape(L, Bb, n2, n1)
-    tw = _level_twiddle(n, n1, inverse)                  # (L, n2, n1)
+    tw = _level_twiddle(roots, N, n, n1)                 # (L, n2, n1)
     v = FR.mont_mul(v, tw[:, None])
     v = v.transpose(0, 1, 3, 2)                          # (L,B,n1,n2)
-    v = _ntt_last_axis(v.reshape(L, Bb * n1, n2), n2, inverse, interpret)
+    v = _ntt_last_axis(v.reshape(L, Bb * n1, n2), n2, inverse, interpret,
+                       roots, N)
     v = v.reshape(L, Bb, n1, n2).transpose(0, 1, 3, 2)   # (L,B,n2,n1)
     return v.reshape(L, Bb, n)
 
@@ -209,7 +205,7 @@ def ntt(x, dd, interpret: bool = False):
     shape = x.shape
     n = shape[-1]
     v = x.reshape(FR.L, -1, n)
-    out = _ntt_last_axis(v, n, False, interpret)
+    out = _ntt_last_axis(v, n, False, interpret, dd.roots, dd.n)
     return out.reshape(shape)
 
 
@@ -217,6 +213,6 @@ def intt(x, dd, interpret: bool = False):
     shape = x.shape
     n = shape[-1]
     v = x.reshape(FR.L, -1, n)
-    out = _ntt_last_axis(v, n, True, interpret)
+    out = _ntt_last_axis(v, n, True, interpret, dd.roots_inv, dd.n)
     n_inv = dd.n_inv.reshape((FR.L,) + (1,) * (out.ndim - 1))
     return FR.mont_mul(out, n_inv).reshape(shape)

@@ -125,13 +125,12 @@ def _scan_ops(mesh_axes):
 
 @functools.lru_cache(maxsize=None)
 def _z_poly_fn(n: int, mesh_axes=None):
-    dd = ntt.get_device_domain(n)
     batch_inv, excl_prefix = _scan_ops(mesh_axes)
     kvec = jnp.asarray(encode_ints(
         [k * FR.R_mod % R for k in (1, K1, K2, K3)], FR.L)).reshape(FR.L, 4, 1)
 
     @jax.jit
-    def f(wires, sigma_lag, beta, gamma):
+    def f(dd, wires, sigma_lag, beta, gamma):
         roots = dd.roots[:, None, :]
         beta_b = beta[:, :, None]
         gamma_b = gamma[:, :, None]
@@ -154,11 +153,10 @@ def _z_poly_fn(n: int, mesh_axes=None):
 
 @functools.lru_cache(maxsize=None)
 def _z2_poly_fn(n: int, mesh_axes=None):
-    dd = ntt.get_device_domain(n)
     batch_inv, excl_prefix = _scan_ops(mesh_axes)
 
     @jax.jit
-    def f(fq, t, h1, h2, delta, epsilon):
+    def f(dd, fq, t, h1, h2, delta, epsilon):
         n_ = t.shape[-1]
         roll1 = (jax.lax.broadcasted_iota(jnp.int32, (n_, 1), 0)
                  .squeeze(-1) + 1) % n_
@@ -182,10 +180,8 @@ def _z2_poly_fn(n: int, mesh_axes=None):
 
 @functools.lru_cache(maxsize=None)
 def _wire_intt_fn(n: int, mesh_axes=None):
-    dd = ntt.get_device_domain(n)
-
     @jax.jit
-    def f(wire_evals):  # (L, B, n)
+    def f(dd, wire_evals):  # (L, B, n)
         return ntt.intt(wire_evals, dd, mesh_axes)
 
     return _mesh_safe(f, mesh_axes)
@@ -238,8 +234,6 @@ def _tsplit_fn(n: int, mesh_axes=None):
 
 @functools.lru_cache(maxsize=None)
 def _quotient_fn(n: int, mesh_axes=None):
-    dd = ntt.get_device_domain(n)
-    dd4 = ntt.get_device_domain(4 * n)
     m = 4 * n
     # period-4 v_H^{-1} table over the coset
     vh = compute_vanishing_poly_over_coset(host.Domain(4 * n), n)[:4]
@@ -248,7 +242,7 @@ def _quotient_fn(n: int, mesh_axes=None):
         [x * FR.R_mod % R for x in vh_inv], FR.L))
 
     @jax.jit
-    def f(sel4, sig4, polys_n, challenges):
+    def f(dd4, sel4, sig4, polys_n, challenges):
         """sel4: (L, 12, m) selector coset evals (order SELECTOR_NAMES)
         sig4: (L, 4, m); polys_n: (L, 12, n) coefficient stack of
         [z, wl, wr, wo, w4, z2, f, table, h1, h2, pi, l1];
@@ -647,16 +641,15 @@ class DeviceProver:
             if proof is not None:
                 _mark("mega prove (single dispatch)")
                 return proof
-        # fused one-dispatch-per-round path (single device only)
-        from ..curve.msm2 import PippengerMSM, pick_window
+        # fused one-dispatch-per-round path (single device only);
+        # commitments go through the SHARED MSM program inside
+        # commit_mont_batch (curve/msm3._msm_win_fn)
+        from ..curve.msm2 import PippengerMSM
         from ..curve.msm3 import PippengerMSM3
         from . import device_rounds as dr
         fused = ma is None and isinstance(dpk.msm,
                                           (PippengerMSM, PippengerMSM3))
-        cwin = pick_window(n) if fused else None
-        if fused:
-            mkind = dr.msm_kind(dpk.msm)
-            mtabs = dr.msm_tables(dpk.msm)
+        ddn = ntt.get_device_domain(n)
 
         def shard(x):
             if ma is None:
@@ -698,33 +691,14 @@ class DeviceProver:
         def enc_scalar(x):
             return jnp.asarray(FR.encode(x % R)).reshape(FR.L, 1)
 
-        def fused_fallback(stack_dev, P):
-            """Anomaly fallback: exact host MSM on the decoded stack."""
-            def fb():
-                out = []
-                for p_i in range(P):
-                    scalars = FR.decode_fast(stack_dev[:, p_i])
-                    from ..curve.host import msm_host
-                    out.append(msm_host(dpk.msm.points_host, scalars))
-                return out
-            return fb
-
         # --- Round 1: witness polys (+ PI poly in the same batched iNTT) --
         pad = [0] * (n - len(cs.w_l))
         w_scalars = [[cs.variables[v] for v in w] + pad
                      for w in (cs.w_l, cs.w_r, cs.w_o, cs.w_4)]
         pi_evals = pi_mod.as_evals(cs.public_inputs, n)
         wire_evals = shard(_enc_stack(w_scalars + [pi_evals]))  # (L, 5, n)
-        if fused:
-            wire_coeffs5, wx, wy, wz, anom = dr.r1_fn(n, cwin, mkind)(
-                wire_evals, *mtabs)
-            wx, wy, wz, anom = jax.device_get((wx, wy, wz, anom))
-            w_comms = dr.finish_commits(
-                wx, wy, wz, anom, 4, cwin,
-                fused_fallback(wire_coeffs5[:, :4], 4))
-        else:
-            wire_coeffs5 = _wire_intt_fn(n, ma)(wire_evals)
-            w_comms = commit_batch([wire_coeffs5[:, i] for i in range(4)])
+        wire_coeffs5 = _wire_intt_fn(n, ma)(ddn, wire_evals)
+        w_comms = commit_batch(wire_coeffs5[:, :4])
         wire_coeffs = wire_coeffs5[:, :4]
         pi_poly_dev = wire_coeffs5[:, 4]
         for lbl, cm in zip([b"w_l", b"w_r", b"w_o", b"w_4"], w_comms):
@@ -739,19 +713,14 @@ class DeviceProver:
         q_lookup_padded = cs.q_lookup + [0] * (n - len(cs.q_lookup))
         mask = np.array([q % R != 0 for q in q_lookup_padded])
         if fused:
-            (cf_dev, lookup_evals_dev, lookup_coeffs, wx, wy, wz, anom,
-             bad_flag) = dr.r2_fn(n, cwin, mkind)(
-                dpk.table_cols, wire_evals, jnp.asarray(mask), zeta_d,
-                *mtabs)
-            wx, wy, wz, anom, bad = jax.device_get(
-                (wx, wy, wz, anom, bad_flag))
-            if bool(bad):
+            cf_dev, lookup_evals_dev, lookup_coeffs, bad_flag = \
+                dr.r2_fn(n)(ddn, dpk.table_cols, wire_evals,
+                            jnp.asarray(mask), zeta_d)
+            if bool(jax.device_get(bad_flag)):
                 from ..errors import ElementNotIndexed
                 raise ElementNotIndexed("lookup query element not in table")
             ct_dev = lookup_evals_dev[:, 0]
-            f_comm, h_1_comm, h_2_comm = dr.finish_commits(
-                wx, wy, wz, anom, 3, cwin,
-                fused_fallback(lookup_coeffs[:, 1:4], 3))
+            f_comm, h_1_comm, h_2_comm = commit_batch(lookup_coeffs[:, 1:4])
         else:
             ct_dev = _compress_fn(n, ma)(dpk.table_cols, zeta_d)   # (L, n)
             cw_dev = _compress_fn(n, ma)(wire_evals[:, :4], zeta_d)
@@ -765,7 +734,7 @@ class DeviceProver:
                 raise ElementNotIndexed("lookup query element not in table")
             lookup_evals_dev = jnp.stack(
                 [ct_dev, cf_dev, h1_dev, h2_dev], axis=1)  # [t, f, h1, h2]
-            lookup_coeffs = _wire_intt_fn(n, ma)(lookup_evals_dev)
+            lookup_coeffs = _wire_intt_fn(n, ma)(ddn, lookup_evals_dev)
             f_comm, h_1_comm, h_2_comm = commit_batch(
                 [lookup_coeffs[:, 1], lookup_coeffs[:, 2],
                  lookup_coeffs[:, 3]])
@@ -790,26 +759,20 @@ class DeviceProver:
         assert len({beta, gamma, delta, epsilon}) == 4
 
         if fused:
-            z_poly_dev, z2_poly_dev, wx, wy, wz, anom = \
-                dr.r3_fn(n, cwin, mkind)(
-                    wire_evals, dpk.sigma_lagrange, cf_dev,
-                    lookup_evals_dev, enc_scalar(beta), enc_scalar(gamma),
-                    enc_scalar(delta), enc_scalar(epsilon), *mtabs)
-            wx, wy, wz, anom = jax.device_get((wx, wy, wz, anom))
-            z_comm, z_2_comm = dr.finish_commits(
-                wx, wy, wz, anom, 2, cwin,
-                fused_fallback(
-                    jnp.stack([z_poly_dev, z2_poly_dev], axis=1), 2))
+            z_poly_dev, z2_poly_dev = dr.r3_fn(n)(
+                ddn, wire_evals, dpk.sigma_lagrange, cf_dev,
+                lookup_evals_dev, enc_scalar(beta), enc_scalar(gamma),
+                enc_scalar(delta), enc_scalar(epsilon))
         else:
             z_poly_dev = _z_poly_fn(n, ma)(
-                wire_evals[:, :4], dpk.sigma_lagrange,
+                ddn, wire_evals[:, :4], dpk.sigma_lagrange,
                 enc_scalar(beta), enc_scalar(gamma))
-            z2_poly_dev = _z2_poly_fn(n, ma)(cf_dev, ct_dev,
+            z2_poly_dev = _z2_poly_fn(n, ma)(ddn, cf_dev, ct_dev,
                                              lookup_evals_dev[:, 2],
                                              lookup_evals_dev[:, 3],
                                              enc_scalar(delta),
                                              enc_scalar(epsilon))
-            z_comm, z_2_comm = commit_batch([z_poly_dev, z2_poly_dev])
+        z_comm, z_2_comm = commit_batch([z_poly_dev, z2_poly_dev])
         transcript.append_g1(b"z", z_comm)
 
         _mark("round3 z/z2+commits")
@@ -841,17 +804,15 @@ class DeviceProver:
             [enc_scalar(x) for x in
              (alpha, beta, gamma, delta, epsilon, zeta, range_ch, logic_ch,
               fixed_ch, var_ch, lookup_ch)], axis=1)
+        dd4 = ntt.get_device_domain(4 * n)
         if fused:
-            t_stack, wx, wy, wz, anom = dr.r4_fn(n, cwin, mkind)(
-                dpk.sel4, dpk.sig4, polys_n, chal_stack, *mtabs)
-            wx, wy, wz, anom = jax.device_get((wx, wy, wz, anom))
-            t_comms = dr.finish_commits(wx, wy, wz, anom, 4, cwin,
-                                        fused_fallback(t_stack, 4))
+            t_stack = dr.r4_fn(n)(dd4, dpk.sel4, dpk.sig4, polys_n,
+                                  chal_stack)
         else:
-            t_coeffs = _quotient_fn(n, ma)(dpk.sel4, dpk.sig4, polys_n,
-                                           chal_stack)
+            t_coeffs = _quotient_fn(n, ma)(dd4, dpk.sel4, dpk.sig4,
+                                           polys_n, chal_stack)
             t_stack = _tsplit_fn(n, ma)(t_coeffs)  # (L, 4, n)
-            t_comms = commit_batch(t_stack)
+        t_comms = commit_batch(t_stack)
         for lbl, cm in zip([b"t_1", b"t_2", b"t_3", b"t_4"], t_comms):
             transcript.append_g1(lbl, cm)
 
@@ -1011,22 +972,11 @@ class DeviceProver:
              wire_coeffs[:, 3], h1_poly_dev, z2_poly_dev, table_poly_dev],
             axis=1)
         if fused:
-            wx, wy, wz, anom = dr.r5_fn(n, cwin, mkind)(
+            open_stack = dr.r5_fn(n)(
                 aw_stack, saw_stack, enc_scalar(aw_challenge),
                 enc_scalar(saw_challenge), enc_scalar(z_challenge),
-                enc_scalar(shifted_z), *mtabs)
-            wx, wy, wz, anom = jax.device_get((wx, wy, wz, anom))
-
-            def open_fallback():
-                aw_w = _open_fn(n, ma)(aw_stack, enc_scalar(aw_challenge),
-                                       enc_scalar(z_challenge))
-                saw_w = _open_fn(n, ma)(saw_stack, enc_scalar(saw_challenge),
-                                        enc_scalar(shifted_z))
-                return fused_fallback(
-                    jnp.stack([aw_w, saw_w], axis=1), 2)()
-
-            aw_c, saw_c = dr.finish_commits(wx, wy, wz, anom, 2, cwin,
-                                            open_fallback)
+                enc_scalar(shifted_z))
+            aw_c, saw_c = commit_batch(open_stack)
         else:
             aw_w = _open_fn(n, ma)(aw_stack, enc_scalar(aw_challenge),
                                    enc_scalar(z_challenge))

@@ -1,4 +1,5 @@
-"""Pipelined device-transcript prover: 5 dispatches, ZERO host syncs.
+"""Pipelined device-transcript prover: ~16 chained dispatches, ZERO host
+syncs per proof.
 
 The tunneled TPU costs ~50-200 ms per device<->host transfer (and
 ~1.3 MB/s of bandwidth), so the per-round structure — fetch window sums,
@@ -9,19 +10,30 @@ Here Fiat-Shamir runs ON DEVICE (transcript/device_strobe.py, byte-exact
 vs the host Merlin/STROBE-128): every commitment is recombined,
 normalized to affine and ark-serialized on device (curve/device_finish),
 absorbed into the traced 200-byte STROBE state, and the next round's
-challenges are squeezed without leaving HBM.  The five round programs
-are enqueued back-to-back (the STROBE state + challenge scalars chain
+challenges are squeezed without leaving HBM.  All dispatches are
+enqueued back-to-back (the STROBE state + challenge scalars chain
 device-to-device); the host performs exactly ONE upload (witness wires)
 and ONE fetch (a single flat vector: 15 affine points + 23 evaluations +
 anomaly/error flags, ~4 KB) per proof.
 
-Five compile units instead of one: a whole-prove single jit was tried
-and costs >40 min of XLA compile; the split keeps each unit at the size
-the per-round path already compiles, while dispatch overhead stays at
-~5 x 3 ms.  The STROBE byte schedule depends only on static label/length
-sequences, so the transcript cursor (pos/pos_begin/flags) is captured at
-BUILD time by abstract tracing (jax.eval_shape) and baked into the next
-round's program as static ints.
+Compile-unit structure (round 4 redesign): each protocol round is split
+at its commitment boundary into a COMPUTE piece (a1..a5) and a
+FINISH/transcript piece (b1..b5), with the commitment running through
+the ONE shared MSM program (curve/msm3._msm_win_fn, P=4, smaller
+batches zero-padded).  The round-2/3 design inlined the whole MSM body
+(bucket accumulation + 16 statically-unrolled Mosaic reduction steps)
+into every round program: ~145 MB of serialized executable per round,
+i.e. ~750 MB of compile artifacts per circuit size pushed through a
+~1.3 MB/s tunnel on every cold compile AND every warm cache load.  The
+split + sharing cuts total executable bytes ~10x while keeping the
+zero-sync pipeline (the extra dispatches are device-to-device chained,
+~3-5 ms each).  For the same reason the NTT domain tables are runtime
+arguments (poly/ntt.DeviceDomain pytree), not closure constants.
+
+The STROBE byte schedule depends only on static label/length sequences,
+so the transcript cursor (pos/pos_begin/flags) is captured at BUILD time
+by abstract tracing (jax.eval_shape) and baked into the next transcript
+piece's program as static ints.
 
 Round structure and transcript labels mirror proving/device.py (itself
 byte-identical to the host golden path), reference prover.rs:163-638.
@@ -46,7 +58,6 @@ from ..poly import ntt
 from ..circuit.composer import K1, K2, K3, SELECTOR_NAMES
 from ..curve import msm3
 from ..curve.msm2 import pick_window, _window_plan
-from ..curve.device_finish import recombine_device, to_affine_bytes
 from ..transcript.device_strobe import DeviceStrobe, DeviceTranscript
 from . import device_widgets as dw
 from . import device as dv
@@ -87,17 +98,20 @@ def _compress4(cols, zeta):
 
 
 class _Rounds:
-    """The five round programs for (n, c, initial STROBE cursor)."""
+    """The per-round compute/finish programs.
+
+    Transcript pieces (b1..b4, a5) are cursor-dependent and live here,
+    keyed by (n, c, cursor0); the cursor-independent compute pieces
+    (a1..a4, b5) are module-level lru factories keyed by n alone so a
+    different preprocessed-transcript prefix never retraces them."""
 
     def __init__(self, n: int, c: int, cursor0):
         self.n = n
         self.c = c
         self.W, _ = _window_plan(c)
-        self.dd = ntt.get_device_domain(n)
+        self.G = 4 * self.W
         hd = host.Domain(n)
         self.omega_m = jnp.asarray(FR.encode(hd.group_gen)).reshape(FR.L, 1)
-        self.size_inv_m = jnp.asarray(
-            FR.encode(hd.size_inv)).reshape(FR.L, 1)
         self.n_m = jnp.asarray(FR.encode(n)).reshape(FR.L, 1)
         self.sel_idx = {nme: i for i, nme in enumerate(SELECTOR_NAMES)}
 
@@ -109,17 +123,18 @@ class _Rounds:
                     dv._tsplit_fn, dv._open_fn, _combine_split_fn):
             fac(n, None)
 
-        # build in protocol order, chaining the static transcript cursor
+        # transcript pieces, built in protocol order chaining the static
+        # transcript cursor
         cur = cursor0
-        self.f1, cur = self._build(self._r1, cur, self._spec1())
-        self.f2, cur = self._build(self._r2, cur, self._spec2())
-        self.f3, cur = self._build(self._r3, cur, self._spec3())
-        self.f4, cur = self._build(self._r4, cur, self._spec4())
-        self.f5, cur = self._build(self._r5, cur, self._spec5())
+        self.b1, cur = self._build(self._b1, cur, self._bspec())
+        self.b2, cur = self._build(self._b2, cur, self._bspec())
+        self.b3, cur = self._build(self._b3, cur, self._bspec())
+        self.b4, cur = self._build(self._b4, cur, self._bspec())
+        self.a5, cur = self._build(self._a5, cur, self._spec_a5())
 
     def _build(self, body, cursor, spec):
-        """jit a round body with the entry cursor baked in; capture the
-        exit cursor by abstract tracing (no compile, no execution)."""
+        """jit a transcript piece with the entry cursor baked in; capture
+        the exit cursor by abstract tracing (no compile, no execution)."""
         cell = {}
 
         def wrapped(*args):
@@ -131,101 +146,60 @@ class _Rounds:
         jax.eval_shape(wrapped, *spec)
         return jax.jit(wrapped), cell["cursor"]
 
-    def _commit(self, ts, stack, P, labels, pxy):
-        """(L, P, n) coeff stack -> on-device affine points, the labelled
-        ones appended to the transcript: (xraw, yraw, inf, anom)."""
-        (wx, wy, wz), a1 = msm3._msm_body_v3(
-            self.n, P, self.c, stack, pxy, to_raw=False)
-        (jx, jy, jz), a2 = recombine_device(wx, wy, wz, P, self.W, self.c)
-        xraw, yraw, inf, byts = to_affine_bytes(jx, jy, jz)
+    def _absorb(self, ts, byts, labels, xraw, yraw, inf, anom, keep):
+        """Absorb the labelled commitment bytes (from the shared MSM
+        finish program) into the transcript; pass the points through."""
         for i, lbl in enumerate(labels):
             if lbl is not None:
                 ts.append_message(lbl, byts[i], length=48)
-        return xraw, yraw, inf, (a1 + a2).reshape(1)
+        return xraw[:, :keep], yraw[:, :keep], inf[:keep], anom
+
+    def _pad4(self, stack):
+        L, P, n = stack.shape
+        if P == 4:
+            return stack
+        return jnp.concatenate(
+            [stack, jnp.zeros((L, 4 - P, n), stack.dtype)], axis=1)
 
     # ---- abstract input specs (build-time cursor capture) --------------
     def _a(self, *shape):
         return jax.ShapeDtypeStruct(shape, U32)
 
-    def _spec1(self):
-        n, L, Lq = self.n, FR.L, FQ.L
-        return [self._a(200), self._a(L, 5, n), self._a(n, 2 * Lq)]
+    def _bspec(self):
+        Lq = FQ.L
+        return [self._a(200), self._a(Lq, 4), self._a(Lq, 4),
+                self._a(4), self._a(4, 48), self._a(1)]
 
-    def _spec2(self):
-        n, L, Lq = self.n, FR.L, FQ.L
-        return [self._a(200), self._a(L, 1), self._a(L, 5, n),
-                jax.ShapeDtypeStruct((n,), jnp.bool_),
-                self._a(L, 4, n), self._a(n, 2 * Lq)]
-
-    def _spec3(self):
-        n, L, Lq = self.n, FR.L, FQ.L
-        sc = self._a(L, 1)
-        return [self._a(200), self._a(L, 5, n), self._a(L, 4, n),
-                self._a(L, n), self._a(L, 4, n), sc, sc, sc, sc,
-                self._a(n, 2 * Lq)]
-
-    def _spec4(self):
-        n, L, Lq = self.n, FR.L, FQ.L
-        sc = self._a(L, 1)
-        return ([self._a(200), self._a(L, 12, 4 * n), self._a(L, 4, 4 * n),
-                 self._a(L, 5, n), self._a(L, n), self._a(L, n),
-                 self._a(L, 4, n)] + [sc] * 11 + [self._a(n, 2 * Lq)])
-
-    def _spec5(self):
-        n, L, Lq = self.n, FR.L, FQ.L
+    def _spec_a5(self):
+        n, L = self.n, FR.L
         sc = self._a(L, 1)
         return ([self._a(200)] + [sc] * 12
                 + [self._a(L, 5, n), self._a(L, 12, n), self._a(L, 4, n),
                    self._a(L, 4, n), self._a(L, n), self._a(L, n),
-                   self._a(L, 4, n),
-                   self._a(Lq, 13), self._a(Lq, 13), self._a(13,),
-                   self._a(4,),
-                   jax.ShapeDtypeStruct((), jnp.bool_),
-                   self._a(n, 2 * Lq)])
+                   self._a(L, 4, n)])
 
-    # ---- round bodies ---------------------------------------------------
-    def _r1(self, ts, wire_evals, pxy):
-        """Round 1: witness polys (prover.rs:184-220)."""
-        coeffs5 = ntt.intt(wire_evals, self.dd, None)
-        x, y, inf, an = self._commit(
-            ts, coeffs5[:, :4], 4, [b"w_l", b"w_r", b"w_o", b"w_4"], pxy)
+    # ---- round 1 -------------------------------------------------------
+    def _b1(self, ts, xr, yr, inf, byts, anom):
+        x, y, inf, an = self._absorb(
+            ts, byts, [b"w_l", b"w_r", b"w_o", b"w_4"], xr, yr, inf,
+            anom, 4)
         zeta = _chal(ts, b"zeta", b"zeta")
-        return zeta, coeffs5, x, y, inf, an
+        return zeta, x, y, inf, an
 
-    def _r2(self, ts, zeta, wire_evals, mask, table_cols, pxy):
-        """Round 2: plookup (prover.rs:222-321)."""
-        n = self.n
-        from .device_lookup import _combine_split_fn
-        ct = _compress4(table_cols, zeta)
-        cw = _compress4(wire_evals[:, :4], zeta)
-        iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
-        ct0 = jnp.sum(jnp.where((iota == 0)[None, :], ct, 0),
-                      axis=-1, keepdims=True)
-        cf = jnp.where(mask[None, :], cw, jnp.broadcast_to(ct0, ct.shape))
-        h1_ev, h2_ev, bad = _combine_split_fn(n, None)(ct, cf)
-        lookup_evals = jnp.stack([ct, cf, h1_ev, h2_ev], axis=1)
-        lookup_coeffs = ntt.intt(lookup_evals, self.dd, None)
-        x, y, inf, an = self._commit(
-            ts, lookup_coeffs[:, 1:4], 3, [b"f", b"h1", b"h2"], pxy)
+    # ---- round 2 -------------------------------------------------------
+    def _b2(self, ts, xr, yr, inf, byts, anom):
+        x, y, inf, an = self._absorb(
+            ts, byts, [b"f", b"h1", b"h2"], xr, yr, inf, anom, 3)
         beta = _chal(ts, b"beta", b"beta")
         gamma = _chal(ts, b"gamma", b"gamma")
         delta = _chal(ts, b"delta", b"delta")
         epsilon = _chal(ts, b"epsilon", b"epsilon")
-        return (beta, gamma, delta, epsilon, cf, lookup_evals,
-                lookup_coeffs, x, y, inf, an, bad)
+        return beta, gamma, delta, epsilon, x, y, inf, an
 
-    def _r3(self, ts, wire_evals, sigma_lag, cf, lookup_evals,
-            beta, gamma, delta, epsilon, pxy):
-        """Round 3: grand products (prover.rs:323-389)."""
-        n = self.n
-        z_poly = dv._z_poly_fn(n, None)(wire_evals[:, :4], sigma_lag,
-                                        beta, gamma)
-        z2_poly = dv._z2_poly_fn(n, None)(cf, lookup_evals[:, 0],
-                                          lookup_evals[:, 2],
-                                          lookup_evals[:, 3],
-                                          delta, epsilon)
-        x, y, inf, an = self._commit(
-            ts, jnp.stack([z_poly, z2_poly], axis=1), 2, [b"z", None], pxy)
+    # ---- round 3 -------------------------------------------------------
+    def _b3(self, ts, xr, yr, inf, byts, anom):
+        x, y, inf, an = self._absorb(
+            ts, byts, [b"z", None], xr, yr, inf, anom, 2)
         alpha = _chal(ts, b"alpha", b"alpha")
         range_ch = _chal(ts, b"range separation challenge",
                          b"range seperation challenge")
@@ -238,37 +212,23 @@ class _Rounds:
         lookup_ch = _chal(ts, b"lookup separation challenge",
                           b"lookup separation challenge")
         return (alpha, range_ch, logic_ch, fixed_ch, var_ch, lookup_ch,
-                z_poly, z2_poly, x, y, inf, an)
+                x, y, inf, an)
 
-    def _r4(self, ts, sel4, sig4, coeffs5, z_poly, z2_poly, lookup_coeffs,
-            alpha, beta, gamma, delta, epsilon, zeta, range_ch, logic_ch,
-            fixed_ch, var_ch, lookup_ch, pxy):
-        """Round 4: quotient (prover.rs:391-475)."""
-        n = self.n
-        l1_poly = jnp.broadcast_to(self.size_inv_m, (FR.L, n))
-        polys_n = jnp.stack(
-            [z_poly, coeffs5[:, 0], coeffs5[:, 1], coeffs5[:, 2],
-             coeffs5[:, 3], z2_poly, lookup_coeffs[:, 1],
-             lookup_coeffs[:, 0], lookup_coeffs[:, 2], lookup_coeffs[:, 3],
-             coeffs5[:, 4], l1_poly], axis=1)
-        chal_stack = jnp.stack(
-            [alpha, beta, gamma, delta, epsilon, zeta, range_ch, logic_ch,
-             fixed_ch, var_ch, lookup_ch], axis=1)
-        t_coeffs = dv._quotient_fn(n, None)(sel4, sig4, polys_n, chal_stack)
-        t_stack = dv._tsplit_fn(n, None)(t_coeffs)
-        x, y, inf, an = self._commit(
-            ts, t_stack, 4, [b"t_1", b"t_2", b"t_3", b"t_4"], pxy)
+    # ---- round 4 -------------------------------------------------------
+    def _b4(self, ts, xr, yr, inf, byts, anom):
+        x, y, inf, an = self._absorb(
+            ts, byts, [b"t_1", b"t_2", b"t_3", b"t_4"], xr, yr, inf,
+            anom, 4)
         z_ch = _chal(ts, b"z", b"z")
-        return z_ch, t_stack, x, y, inf, an
+        return z_ch, x, y, inf, an
 
-    def _r5(self, ts, z_ch, alpha, beta, gamma, delta, epsilon, zeta,
+    # ---- round 5 -------------------------------------------------------
+    def _a5(self, ts, z_ch, alpha, beta, gamma, delta, epsilon, zeta,
             range_ch, logic_ch, fixed_ch, var_ch, lookup_ch,
             coeffs5, sel_coeffs, sig_coeffs, lookup_coeffs,
-            z_poly, z2_poly, t_stack, xs13, ys13, infs13, anoms, bad,
-            pxy):
-        """Round 5: evaluations + linearisation + openings
-        (prover.rs:477-618), then pack the whole proof into ONE flat
-        output vector (a single device->host transfer)."""
+            z_poly, z2_poly, t_stack):
+        """Round 5 compute: evaluations + linearisation + openings
+        (prover.rs:477-618)."""
         n = self.n
         si = self.sel_idx
         wire_coeffs = coeffs5[:, :4]
@@ -392,25 +352,123 @@ class _Rounds:
         open_fn = dv._open_fn(n, None)
         aw_w = open_fn(aw_stack, aw_ch, z_ch)
         saw_w = open_fn(zw_stack, saw_ch, zw)
-        x5, y5, inf5, an5 = self._commit(
-            ts, jnp.stack([aw_w, saw_w], axis=1), 2, [None, None], pxy)
+        cstack = self._pad4(jnp.stack([aw_w, saw_w], axis=1))
+        return evz_raw, evzw_raw, cstack
 
-        X = jnp.concatenate([xs13, x5], axis=1)      # (Lq, 15) raw limbs
-        Y = jnp.concatenate([ys13, y5], axis=1)
-        INF = jnp.concatenate([infs13, inf5])        # (15,)
-        anom = jnp.sum(anoms) + an5[0]
+@functools.lru_cache(maxsize=None)
+def _rounds(n: int, c: int, cursor0):
+    return _Rounds(n, c, cursor0)
+
+
+def _pad4(stack):
+    L, P, n = stack.shape
+    if P == 4:
+        return stack
+    return jnp.concatenate(
+        [stack, jnp.zeros((L, 4 - P, n), stack.dtype)], axis=1)
+
+
+@functools.lru_cache(maxsize=None)
+def _a1_fn(n: int):
+    @jax.jit
+    def f(dd, wire_evals):
+        """Round 1 compute: witness polys (prover.rs:184-203)."""
+        coeffs5 = ntt.intt(wire_evals, dd, None)
+        return coeffs5, coeffs5[:, :4]
+
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _a2_fn(n: int):
+    from .device_lookup import _combine_split_fn
+    cs_fn = _combine_split_fn(n, None)
+
+    @jax.jit
+    def f(dd, zeta, wire_evals, mask, table_cols):
+        """Round 2 compute: plookup query/split (prover.rs:222-317)."""
+        ct = _compress4(table_cols, zeta)
+        cw = _compress4(wire_evals[:, :4], zeta)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+        ct0 = jnp.sum(jnp.where((iota == 0)[None, :], ct, 0),
+                      axis=-1, keepdims=True)
+        cf = jnp.where(mask[None, :], cw, jnp.broadcast_to(ct0, ct.shape))
+        h1_ev, h2_ev, bad = cs_fn(ct, cf)
+        lookup_evals = jnp.stack([ct, cf, h1_ev, h2_ev], axis=1)
+        lookup_coeffs = ntt.intt(lookup_evals, dd, None)
+        return (cf, lookup_evals, lookup_coeffs, bad,
+                _pad4(lookup_coeffs[:, 1:4]))
+
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _a3_fn(n: int):
+    z_fn = dv._z_poly_fn(n, None)
+    z2_fn = dv._z2_poly_fn(n, None)
+
+    @jax.jit
+    def f(dd, wire_evals, sigma_lag, cf, lookup_evals,
+          beta, gamma, delta, epsilon):
+        """Round 3 compute: grand products (prover.rs:323-389)."""
+        z_poly = z_fn(dd, wire_evals[:, :4], sigma_lag, beta, gamma)
+        z2_poly = z2_fn(dd, cf, lookup_evals[:, 0], lookup_evals[:, 2],
+                        lookup_evals[:, 3], delta, epsilon)
+        return (z_poly, z2_poly,
+                _pad4(jnp.stack([z_poly, z2_poly], axis=1)))
+
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _a4_fn(n: int):
+    q_fn = dv._quotient_fn(n, None)
+    ts_fn = dv._tsplit_fn(n, None)
+    size_inv_m = jnp.asarray(
+        FR.encode(host.Domain(n).size_inv)).reshape(FR.L, 1)
+
+    @jax.jit
+    def f(dd4, sel4, sig4, coeffs5, z_poly, z2_poly, lookup_coeffs,
+          alpha, beta, gamma, delta, epsilon, zeta, range_ch, logic_ch,
+          fixed_ch, var_ch, lookup_ch):
+        """Round 4 compute: quotient (prover.rs:391-455)."""
+        l1_poly = jnp.broadcast_to(size_inv_m, (FR.L, n))
+        polys_n = jnp.stack(
+            [z_poly, coeffs5[:, 0], coeffs5[:, 1], coeffs5[:, 2],
+             coeffs5[:, 3], z2_poly, lookup_coeffs[:, 1],
+             lookup_coeffs[:, 0], lookup_coeffs[:, 2], lookup_coeffs[:, 3],
+             coeffs5[:, 4], l1_poly], axis=1)
+        chal_stack = jnp.stack(
+            [alpha, beta, gamma, delta, epsilon, zeta, range_ch, logic_ch,
+             fixed_ch, var_ch, lookup_ch], axis=1)
+        t_coeffs = q_fn(dd4, sel4, sig4, polys_n, chal_stack)
+        return ts_fn(t_coeffs)
+
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _b5_fn():
+    @jax.jit
+    def f(x5, y5, inf5, anom5, xs13, ys13, infs13, anoms, bad,
+          evz_raw, evzw_raw):
+        """Final pack: the two opening commitments (already affine from
+        the shared finish program; no transcript absorbs,
+        prover.rs:563-618) join the 13 round commitments in ONE flat
+        output vector (a single device->host transfer)."""
+        X = jnp.concatenate([xs13, x5[:, :2]], axis=1)   # (Lq, 15) raw
+        Y = jnp.concatenate([ys13, y5[:, :2]], axis=1)
+        INF = jnp.concatenate([infs13, inf5[:2]])        # (15,)
+        anom_total = jnp.sum(anoms) + anom5[0]
         # ONE output buffer: each device->host transfer pays ~50-200 ms
         # of tunnel latency, so the proof ships as a single flat vector
         flat = jnp.concatenate([
             X.reshape(-1), Y.reshape(-1), INF,
             evz_raw.reshape(-1), evzw_raw.reshape(-1),
-            anom.reshape(1), bad.astype(U32).reshape(1)])
-        return (flat,)
+            anom_total.reshape(1), bad.astype(U32).reshape(1)])
+        return flat
 
-
-@functools.lru_cache(maxsize=None)
-def _rounds(n: int, c: int, cursor0):
-    return _Rounds(n, c, cursor0)
+    return f
 
 
 def encode_witness(cs, n: int):
@@ -455,6 +513,9 @@ def prove_mega(device_prover, dpk):
     mask = jnp.asarray(np.array([q % R != 0 for q in q_lookup_padded]))
 
     r = _rounds(n, c, (s.pos, s.pos_begin, s.cur_flags))
+    msm_fn = msm3._msm_win_fn(n, c)
+    ddn = ntt.get_device_domain(n)
+    dd4 = ntt.get_device_domain(4 * n)
     pxy = dpk.msm.pxy
     st = s.state
 
@@ -471,32 +532,53 @@ def prove_mega(device_prover, dpk):
             print(f"[mega] {label}: +{_time.time() - t0:.3f}s "
                   f"(since start {_time.time() - _T0:.3f}s)", flush=True)
 
+    fin_fn = msm3._finish_fn(c)
+
     _T0 = _time.time()
-    (st, zeta, coeffs5, x1, y1, i1, an1) = r.f1(st, wire_evals, pxy)
+    coeffs5, cst1 = _a1_fn(n)(ddn, wire_evals)
+    (w1x, w1y, w1z), m1 = msm_fn(cst1, pxy)
+    fr1 = fin_fn(w1x, w1y, w1z, m1)
+    (st, zeta, x1, y1, i1, an1) = r.b1(st, *fr1)
     _sync("round1", st)
-    (st, beta, gamma, delta, epsilon, cf, lookup_evals, lookup_coeffs,
-     x2, y2, i2, an2, bad) = r.f2(st, zeta, wire_evals, mask,
-                                  dpk.table_cols, pxy)
+
+    cf, lookup_evals, lookup_coeffs, bad, cst2 = _a2_fn(n)(
+        ddn, zeta, wire_evals, mask, dpk.table_cols)
+    (w2x, w2y, w2z), m2 = msm_fn(cst2, pxy)
+    fr2 = fin_fn(w2x, w2y, w2z, m2)
+    (st, beta, gamma, delta, epsilon, x2, y2, i2, an2) = r.b2(st, *fr2)
     _sync("round2", st)
+
+    z_poly, z2_poly, cst3 = _a3_fn(n)(
+        ddn, wire_evals, dpk.sigma_lagrange, cf, lookup_evals,
+        beta, gamma, delta, epsilon)
+    (w3x, w3y, w3z), m3 = msm_fn(cst3, pxy)
+    fr3 = fin_fn(w3x, w3y, w3z, m3)
     (st, alpha, range_ch, logic_ch, fixed_ch, var_ch, lookup_ch,
-     z_poly, z2_poly, x3, y3, i3, an3) = r.f3(
-        st, wire_evals, dpk.sigma_lagrange, cf, lookup_evals,
-        beta, gamma, delta, epsilon, pxy)
+     x3, y3, i3, an3) = r.b3(st, *fr3)
     _sync("round3", st)
-    (st, z_ch, t_stack, x4, y4, i4, an4) = r.f4(
-        st, dpk.sel4, dpk.sig4, coeffs5, z_poly, z2_poly, lookup_coeffs,
+
+    t_stack = _a4_fn(n)(
+        dd4, dpk.sel4, dpk.sig4, coeffs5, z_poly, z2_poly, lookup_coeffs,
         alpha, beta, gamma, delta, epsilon, zeta, range_ch, logic_ch,
-        fixed_ch, var_ch, lookup_ch, pxy)
+        fixed_ch, var_ch, lookup_ch)
+    (w4x, w4y, w4z), m4 = msm_fn(t_stack, pxy)
+    fr4 = fin_fn(w4x, w4y, w4z, m4)
+    (st, z_ch, x4, y4, i4, an4) = r.b4(st, *fr4)
     _sync("round4", st)
+
+    (st, evz_raw, evzw_raw, cst5) = r.a5(
+        st, z_ch, alpha, beta, gamma, delta, epsilon, zeta,
+        range_ch, logic_ch, fixed_ch, var_ch, lookup_ch,
+        coeffs5, dpk.sel_coeffs, dpk.sig_coeffs, lookup_coeffs,
+        z_poly, z2_poly, t_stack)
+    (w5x, w5y, w5z), m5 = msm_fn(cst5, pxy)
+    (x5, y5, i5, _byts5, an5) = fin_fn(w5x, w5y, w5z, m5)
     xs13 = jnp.concatenate([x1, x2, x3, x4], axis=1)
     ys13 = jnp.concatenate([y1, y2, y3, y4], axis=1)
     infs13 = jnp.concatenate([i1, i2, i3, i4])
     anoms = jnp.concatenate([an1, an2, an3, an4])
-    (st, flat) = r.f5(
-        st, z_ch, alpha, beta, gamma, delta, epsilon, zeta,
-        range_ch, logic_ch, fixed_ch, var_ch, lookup_ch,
-        coeffs5, dpk.sel_coeffs, dpk.sig_coeffs, lookup_coeffs,
-        z_poly, z2_poly, t_stack, xs13, ys13, infs13, anoms, bad, pxy)
+    flat = _b5_fn()(x5, y5, i5, an5, xs13, ys13, infs13, anoms, bad,
+                    evz_raw, evzw_raw)
     _sync("round5", flat)
 
     flat = np.asarray(jax.device_get(flat))

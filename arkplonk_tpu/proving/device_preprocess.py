@@ -40,13 +40,11 @@ from .keys import VerifierKey, SIGMA_ORDER
 
 @functools.lru_cache(maxsize=None)
 def _prep_fn(n: int):
-    dd = ntt.get_device_domain(n)
-    dd4 = ntt.get_device_domain(4 * n)
-
     @jax.jit
-    def f(evals16, kind, idx):
+    def f(dd, dd4, evals16, kind, idx):
         """evals16: (L, 16, n) = 12 selectors + 4 table columns (evals);
-        kind/idx: (4, n) int32 sigma wire maps.
+        kind/idx: (4, n) int32 sigma wire maps; dd/dd4: runtime NTT
+        domain tables (argument, not constant — see ntt.DeviceDomain).
         Returns (coeffs (L,20,n), evals4 (L,16,4n), sig_lag (L,4,n))."""
         kvals = jnp.asarray(encode_ints(
             [k * FR.R_mod % R for k in (1, K1, K2, K3)], FR.L))  # (L, 4)
@@ -94,6 +92,7 @@ def device_preprocess(cs, srs, transcript, msm):
     idx = np.array([[i for (_, i) in s] for s in sigmas], np.int32)
 
     coeffs, evals4, sig_lag = _prep_fn(n)(
+        ntt.get_device_domain(n), ntt.get_device_domain(4 * n),
         evals16, jnp.asarray(kind), jnp.asarray(idx))
 
     # commits in reference order (preprocess.rs:355-374): 12 selectors in

@@ -254,8 +254,10 @@ def counters():
 
     dd = ntt.get_device_domain(n)
     x = rand(FR, n)
-    f = jax.jit(lambda x: ntt.ntt(x, dd))
-    dt = perf.timeit_chain(lambda a, x: f(x), None, x, iters=5)
+    # dd passes as a pytree ARG (a closure would bake the root tables
+    # into the executable as hex literals)
+    f = jax.jit(lambda x, d: ntt.ntt(x, d))
+    dt = perf.timeit_chain(lambda a, x: f(x, dd), None, x, iters=5)
     out["ntt_2e18_ms"] = round(dt * 1e3, 2)
     # speed-of-light context: VPU ~3.8G vreg-ops/s; Fr mul ~3 vreg-ops/
     # elem, Fq ~7 (schoolbook 16-bit REDC at full sublane utilization)

@@ -14,6 +14,7 @@ import pytest
 from arkplonk_tpu.fields.jaxfield import FR
 from arkplonk_tpu.mesh import sharding as ms
 from arkplonk_tpu.mesh import scans as dscans
+from arkplonk_tpu.poly import ntt
 from arkplonk_tpu.proving import device as D
 
 RNG = random.Random(0xD15)
@@ -56,10 +57,11 @@ def test_sharded_z_poly_matches_local(mesh):
     sig = FR.encode_fast(rand_fr_ints(4 * n)).reshape(FR.L, 4, n)
     beta = FR.encode_fast([123])
     gamma = FR.encode_fast([456])
-    local = D._z_poly_fn(n)(wires, sig, beta, gamma)
+    dd = ntt.get_device_domain(n)
+    local = D._z_poly_fn(n)(dd, wires, sig, beta, gamma)
     ma = (mesh, "x")
     sharded = D._z_poly_fn(n, ma)(
-        ms.put_sharded(mesh, wires), ms.put_sharded(mesh, sig),
+        dd, ms.put_sharded(mesh, wires), ms.put_sharded(mesh, sig),
         jax.device_put(beta, ms.replicated(mesh)),
         jax.device_put(gamma, ms.replicated(mesh)))
     assert FR.decode_fast(local) == FR.decode_fast(sharded)
@@ -71,10 +73,11 @@ def test_sharded_quotient_matches_local(mesh):
     sig4 = FR.encode_fast(rand_fr_ints(4 * 4 * n)).reshape(FR.L, 4, 4 * n)
     polys = FR.encode_fast(rand_fr_ints(12 * n)).reshape(FR.L, 12, n)
     chal = FR.encode_fast(rand_fr_ints(11)).reshape(FR.L, 11, 1)
-    local = D._quotient_fn(n)(sel4, sig4, polys, chal)
+    dd4 = ntt.get_device_domain(4 * n)
+    local = D._quotient_fn(n)(dd4, sel4, sig4, polys, chal)
     ma = (mesh, "x")
     sharded = D._quotient_fn(n, ma)(
-        ms.put_sharded(mesh, sel4), ms.put_sharded(mesh, sig4),
+        dd4, ms.put_sharded(mesh, sel4), ms.put_sharded(mesh, sig4),
         ms.put_sharded(mesh, polys),
         jax.device_put(chal, ms.replicated(mesh)))
     assert FR.decode_fast(local) == FR.decode_fast(sharded)

@@ -47,12 +47,18 @@ def test_v3_jnp_matches_host():
 @pytest.mark.slow
 def test_v3_kernels_interpret_match_host():
     """Exercise the Mosaic accumulate + weighted-reduce kernels in
-    interpret mode (exact same code path as the TPU)."""
+    interpret mode (exact same code path as the TPU).
+
+    Small configuration (n=64, P=1, c=4): the interpreter lowers every
+    in-kernel limb op to real XLA ops, so the graph grows with
+    P*W*B lanes x kernel ops — the previous n=256/P=2 config took >25
+    minutes of XLA:CPU compile alone.  All code paths (chunked masked
+    accumulate, dynamic-shift ladder, signed digits) are identical."""
     rng = np.random.default_rng(2)
-    n = 256
+    n = 64
     pts = _points(n, rng)
-    c = msm3.pick_window(n)
-    P = 2
+    c = 4
+    P = 1
     polys = [[int.from_bytes(rng.bytes(31), "little") % cv.R
               for _ in range(n)] for _ in range(P)]
     stack = jnp.stack([jnp.asarray(FR.encode(p)) for p in polys], axis=1)

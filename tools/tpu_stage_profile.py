@@ -95,14 +95,14 @@ def main():
     sc = rand_stack(1, 1, 4)[:, 0]
     zf = dv._z_poly_fn(N, None)
     sig = rand_stack(4, N, 5)
-    bench("z-poly (scan+intt)", zf, stack4, sig, sc, sc)
+    bench("z-poly (scan+intt)", zf, dd, stack4, sig, sc, sc)
 
     sel4 = rand_stack(12, 4 * N, 6)
     sig4 = rand_stack(4, 4 * N, 7)
     polys = rand_stack(12, N, 8)
     chal = rand_stack(11, 1, 9)
     bench("quotient (4n fused)", dv._quotient_fn(N, None),
-          sel4, sig4, polys, chal)
+          dd4, sel4, sig4, polys, chal)
 
     bench("open fn (division)", dv._open_fn(N, None),
           rand_stack(11, N, 10), sc, sc)

@@ -47,7 +47,15 @@ def _proof_fields(p):
             p.evaluations]
 
 
-def test_device_prover_matches_host():
+def test_device_prover_matches_host(monkeypatch):
+    # Pin the PER-ROUND device path here (the mega path is covered by
+    # test_device_mega.py, which runs earlier in the suite).  Compiling
+    # a SECOND mega program instance in the same XLA:CPU process
+    # segfaults this jaxlib (same class of crash as the serializer one
+    # noted in conftest.py); the per-round path is exactly the fallback
+    # the mega prover takes on an MSM anomaly, so this also gives that
+    # branch standing coverage.
+    monkeypatch.setenv("ARKPLONK_MEGA", "0")
     host_prover = Prover(b"demo", rng=mk_rng())
     build_gadget(host_prover.cs)
     host_prover.preprocess(SRS)

@@ -44,6 +44,12 @@ class Circuit:
 
     (reference circuit.rs Circuit trait)"""
 
+    #: Circuit identifier associated constant (circuit.rs:214,
+    #: `const CIRCUIT_ID: [u8; 32]`).  Subclasses may override with a
+    #: 32-byte domain-separating identifier; the default mirrors the
+    #: reference tests' `[0xff; 32]` (circuit.rs:366).
+    CIRCUIT_ID: bytes = b"\xff" * 32
+
     def gadget(self, composer: StandardComposer):
         raise NotImplementedError
 

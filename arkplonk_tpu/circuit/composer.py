@@ -599,9 +599,13 @@ class StandardComposer:
 
     # ------------------------------------------------------------ debugging
 
-    def check_circuit_satisfied(self):
+    def check_circuit_satisfied(self, trace_print: bool = False):
         """Front-end row-wise identity evaluator (composer.rs:661-814,
-        `trace` feature). Raises with the failing gate index."""
+        `trace` feature). Raises with the failing gate index.
+
+        trace_print=True additionally dumps every gate's selector and
+        witness values, mirroring the reference's `trace-print` cargo
+        feature (composer.rs:714-751)."""
         wl = [self.variables[v] for v in self.w_l]
         wr = [self.variables[v] for v in self.w_r]
         wo = [self.variables[v] for v in self.w_o]
@@ -623,6 +627,20 @@ class StandardComposer:
             qfixed = self.q_fixed_group_add[i]
             qvar = self.q_variable_group_add[i]
             pival = pi.get(i, 0)
+
+            if trace_print:
+                print(f"--------------------------------------------\n"
+                      f"#Gate Index = {i}\n"
+                      f"#Selector Polynomials:\n"
+                      f"- qm -> {qm}\n- ql -> {ql}\n- qr -> {qr}\n"
+                      f"- q4 -> {q4}\n- qo -> {qo}\n- qc -> {qc}\n"
+                      f"- q_arith -> {qarith}\n- q_range -> {qrange}\n"
+                      f"- q_logic -> {qlogic}\n"
+                      f"- q_fixed_group_add -> {qfixed}\n"
+                      f"- q_variable_group_add -> {qvar}\n"
+                      f"# Witness polynomials:\n"
+                      f"- w_l -> {a}\n- w_r -> {b}\n- w_o -> {c}\n"
+                      f"- w_4 -> {d}")
 
             arith = (qm * a * b + ql * a + qr * b + qo * c + q4 * d
                      + qc + pival) * qarith % R

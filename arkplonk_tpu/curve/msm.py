@@ -267,8 +267,11 @@ class ShardedDeviceMSM:
     sums reduced across the mesh").
 
     Each chip runs the full window pipeline on its point shard (local
-    argsort/scan/buckets — no collectives); the S x W per-shard window
-    sums (a few dozen points) come back and are reduced host-side.
+    argsort/scan/buckets — no collectives), then the per-shard window
+    sums are reduced IN-PROGRAM with a log2(S)-step ppermute butterfly
+    of Jacobian adds over the mesh axis (the psum analogue for the
+    point group — psum itself only reduces ring sums).  Only the W
+    reduced window sums come back to host.
     """
 
     def __init__(self, mesh, points, axis: str = "x"):
@@ -287,16 +290,27 @@ class ShardedDeviceMSM:
     def _sharded_fn(self, n_local: int, window: int):
         from jax.sharding import PartitionSpec as P
         body = _windows_batched_body(n_local, window)
+        S = self._shards
+        axis = self.axis
 
         def local(digits, px, py, pz):
             ws = body(digits, px, py, pz)  # pytree of (W, L, 1)
-            return tuple(c for c in ws)
+            # leaves to (L, W, 1) for jac_add's (L, ...) convention
+            acc = tuple(c.transpose(1, 0, 2) for c in ws)
+            k = 1
+            while k < S:  # butterfly all-reduce: after log2(S) exchanges
+                perm = [(i, i ^ k) for i in range(S)]  # every shard holds
+                other = tuple(jax.lax.ppermute(c, axis, perm)  # the total
+                              for c in acc)
+                acc = g1.jac_add(acc, other)
+                k *= 2
+            return tuple(c.transpose(1, 0, 2) for c in acc)
 
         return jax.jit(jax.shard_map(
             local, mesh=self.mesh,
             in_specs=(P(None, self.axis), P(None, self.axis),
                       P(None, self.axis), P(None, self.axis)),
-            out_specs=P(None, None, self.axis), check_vma=False))
+            out_specs=P(None, None, None), check_vma=False))
 
     def commit_mont(self, coeffs_mont):
         """(L, n) Montgomery coeffs (may be host or sharded) -> affine."""
@@ -311,20 +325,12 @@ class ShardedDeviceMSM:
             digits, NamedSharding(self.mesh, P(None, self.axis)))
         fn = self._sharded_fn(n // S, window)
         ws = fn(digits, *self.points)
-        # ws: (W, L, S) per coordinate; pull the few dozen shard-window
-        # sums to host (numpy) before flattening — reshaping across the
-        # sharded axis on device is not supported
-        num_w = ws[0].shape[0]
-        flat = tuple(
-            np.asarray(jax.device_get(c)).transpose(1, 0, 2).reshape(
-                FQ.L, -1) for c in ws)
-        pts = g1.decode_points(flat)  # index = w * S + s
+        # ws: (W, L, 1) per coordinate, already mesh-reduced in-program
+        pts = g1.decode_points(tuple(c.squeeze(-1).T for c in ws))
         acc = (1, 1, 0)
-        for w in range(num_w - 1, -1, -1):
+        for wsum in reversed(pts):
             for _ in range(window):
                 acc = cv.jac_double(acc)
-            for s_i in range(self._shards):
-                p = pts[w * S + s_i]
-                if p is not None:
-                    acc = cv.jac_add(acc, cv.jac_from_affine(p))
+            if wsum is not None:
+                acc = cv.jac_add(acc, cv.jac_from_affine(wsum))
         return cv.jac_to_affine(acc)

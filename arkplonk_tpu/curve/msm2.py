@@ -484,10 +484,11 @@ class ShardedPippengerMSM:
     reduced across the mesh").
 
     Each shard runs the FULL local pipeline (digits/sort/accumulate/
-    reduce) on its point slice under `shard_map` — no collectives inside,
-    so divergent per-shard round counts are fine; the (G, S) per-shard
-    window sums (a few dozen points per shard) come back and are reduced
-    host-side during window recombination."""
+    reduce) on its point slice under `shard_map`, then the per-shard
+    window sums are reduced IN-PROGRAM by a log2(S)-step ppermute
+    butterfly of Jacobian adds over the mesh axis (the psum analogue
+    for the point group).  Only the G reduced window sums come back to
+    host; recombination is identical to the single-device path."""
 
     def __init__(self, mesh, points, axis: str = "x"):
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -509,9 +510,26 @@ class ShardedPippengerMSM:
         nl = self.n_local
         use_pl = pallas_jac.use_pallas()
 
+        S = self.shards
+        axis = self.axis
+
         def local(stack, px, py):
             body = _msm_body_pallas if use_pl else _msm_body_jnp
-            (wx, wy, wz), anom = body(nl, P_polys, c, stack, px, py)
+            raw, anom = body(nl, P_polys, c, stack, px, py)
+            # bodies return RAW limbs for the host decode; the reduction
+            # adds in Montgomery form with the anomaly-tracking add (an
+            # equal-x hit between shard sums falls back to host like any
+            # other anomaly)
+            acc = tuple(FQ.to_mont(t) for t in raw)
+            k = 1
+            while k < S:  # butterfly all-reduce: after log2(S) exchanges
+                perm = [(i, i ^ k) for i in range(S)]  # every shard holds
+                other = tuple(jax.lax.ppermute(t, axis, perm)  # the total
+                              for t in acc)
+                acc, a = pallas_jac.jadd(acc, other)
+                anom = anom + a
+                k *= 2
+            wx, wy, wz = (FQ.from_mont(t) for t in acc)
             return (wx[..., None], wy[..., None], wz[..., None],
                     anom.reshape(1))
 
@@ -519,8 +537,8 @@ class ShardedPippengerMSM:
             local, mesh=self.mesh,
             in_specs=(P(None, None, self.axis), P(None, self.axis),
                       P(None, self.axis)),
-            out_specs=(P(None, None, self.axis), P(None, None, self.axis),
-                       P(None, None, self.axis), P(self.axis)),
+            out_specs=(P(None, None, None), P(None, None, None),
+                       P(None, None, None), P(self.axis)),
             check_vma=False))
 
     def commit_mont_batch(self, coeffs_mont):
@@ -540,24 +558,12 @@ class ShardedPippengerMSM:
                 from .host import msm_host
                 out.append(msm_host(self.points_host, scalars))
             return out
-        S = self.shards
         G = Pp * W
+        # window sums arrive mesh-reduced (replicated): same recombine
+        # as the single-device path
         pts = decode_raw_jacobian(
-            wx.reshape(FQ.L, G * S), wy.reshape(FQ.L, G * S),
-            wz.reshape(FQ.L, G * S))  # index = g * S + s
-        out = []
-        for p_i in range(Pp):
-            acc = (1, 1, 0)
-            for w in range(W - 1, -1, -1):
-                for _ in range(c):
-                    acc = cv.jac_double(acc)
-                g_idx = p_i * W + w
-                for s_i in range(S):
-                    p = pts[g_idx * S + s_i]
-                    if p is not None:
-                        acc = cv.jac_add(acc, cv.jac_from_affine(p))
-            out.append(cv.jac_to_affine(acc))
-        return out
+            wx.reshape(FQ.L, G), wy.reshape(FQ.L, G), wz.reshape(FQ.L, G))
+        return recombine_windows(pts, Pp, W, c)
 
     def commit_mont(self, coeffs_mont):
         return self.commit_mont_batch(coeffs_mont[:, None, :])[0]

@@ -28,33 +28,49 @@ _SRS_MAGIC = b"ARKPLONK-SRS\x01"
 
 def _write_srs(path, g1, h, beta_h):
     """Raw little-endian binary (48-byte Fq limbs), not pickle: stable,
-    inspectable, and safe to load (SURVEY §5.4 artifact plan)."""
+    inspectable, and safe to load (SURVEY §5.4 artifact plan).  A sha256
+    digest of the point data trails the file; `_read_srs` rejects a
+    corrupted or tampered in-tree cache on load."""
+    body = bytearray()
+    body += struct.pack("<Q", len(g1))
+    for x, y in g1:
+        body += x.to_bytes(48, "little")
+        body += y.to_bytes(48, "little")
+    for pt in (h, beta_h):
+        (xc0, xc1), (yc0, yc1) = pt
+        for v in (xc0, xc1, yc0, yc1):
+            body += v.to_bytes(48, "little")
     with open(path + ".tmp", "wb") as f:
         f.write(_SRS_MAGIC)
-        f.write(struct.pack("<Q", len(g1)))
-        for x, y in g1:
-            f.write(x.to_bytes(48, "little"))
-            f.write(y.to_bytes(48, "little"))
-        for pt in (h, beta_h):
-            (xc0, xc1), (yc0, yc1) = pt
-            for v in (xc0, xc1, yc0, yc1):
-                f.write(v.to_bytes(48, "little"))
+        f.write(body)
+        f.write(hashlib.sha256(body).digest())
     os.replace(path + ".tmp", path)
 
 
 def _read_srs(path):
     with open(path, "rb") as f:
         assert f.read(len(_SRS_MAGIC)) == _SRS_MAGIC, "bad SRS file"
-        (count,) = struct.unpack("<Q", f.read(8))
-        g1 = []
-        for _ in range(count):
-            x = int.from_bytes(f.read(48), "little")
-            y = int.from_bytes(f.read(48), "little")
-            g1.append((x, y))
-        pts = []
-        for _ in range(2):
-            vals = [int.from_bytes(f.read(48), "little") for _ in range(4)]
-            pts.append(((vals[0], vals[1]), (vals[2], vals[3])))
+        body = f.read()
+    # digest trailer (files written before the trailer existed lack it;
+    # the head check in SRS.setup still covers those)
+    (count,) = struct.unpack("<Q", body[:8])
+    expected = 8 + count * 96 + 2 * 192
+    if len(body) >= expected + 32:
+        assert hashlib.sha256(body[:expected]).digest() \
+            == body[expected:expected + 32], f"SRS cache corrupt: {path}"
+    off = 8
+    g1 = []
+    for _ in range(count):
+        x = int.from_bytes(body[off:off + 48], "little")
+        y = int.from_bytes(body[off + 48:off + 96], "little")
+        g1.append((x, y))
+        off += 96
+    pts = []
+    for _ in range(2):
+        vals = [int.from_bytes(body[off + i * 48:off + (i + 1) * 48],
+                               "little") for i in range(4)]
+        pts.append(((vals[0], vals[1]), (vals[2], vals[3])))
+        off += 192
     return g1, pts[0], pts[1]
 
 
@@ -91,9 +107,17 @@ class SRS:
         key = hashlib.sha256(
             seed + CURVE.encode() + str(max_degree).encode()).hexdigest()[:16]
         path = os.path.join(cache_dir, f"srs_{key}_{max_degree}.srs")
-        if os.path.exists(path):
-            return SRS(*_read_srs(path))
         tau = int.from_bytes(hashlib.sha512(seed).digest(), "little") % R
+        if os.path.exists(path):
+            srs = SRS(*_read_srs(path))
+            # head check: the cache key hashes seed/curve/degree, not the
+            # contents — cross-check g1[0]/g1[1] against the generator and
+            # tau so a stale or corrupted file cannot be loaded silently
+            assert srs.g1[0] == cv.G1_GEN and len(srs.g1) == max_degree + 1 \
+                and srs.g1[1] == cv.jac_to_affine(
+                    cv.jac_mul(cv.jac_from_affine(cv.G1_GEN), tau)), \
+                f"SRS cache mismatch: {path}"
+            return srs
         g1 = _fixed_base_powers(cv.G1_GEN, tau, max_degree + 1)
         h = cv.G2_GEN
         beta_h = cv.G2.mul(h, tau)

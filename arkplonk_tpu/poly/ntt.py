@@ -221,18 +221,22 @@ def _bcast(table, x):
 
 def ntt(x, dd: DeviceDomain, mesh_axes=None):
     """Forward NTT: coefficients -> evaluations (natural order), (L, ..., n)."""
-    from . import ntt4
+    from . import ntt4, ntt_mesh
     if ntt4.supported(dd.n, mesh_axes):
         return ntt4.ntt(x, dd)
+    if ntt_mesh.supported(dd.n, mesh_axes):
+        return ntt_mesh.ntt(x, dd, mesh_axes)
     xr = _gather_last(x, dd.bitrev, mesh_axes)
     return _ntt_core(xr, dd.tw, dd.k, mesh_axes)
 
 
 def intt(x, dd: DeviceDomain, mesh_axes=None):
     """Inverse NTT: evaluations -> coefficients."""
-    from . import ntt4
+    from . import ntt4, ntt_mesh
     if ntt4.supported(dd.n, mesh_axes):
         return ntt4.intt(x, dd)
+    if ntt_mesh.supported(dd.n, mesh_axes):
+        return ntt_mesh.intt(x, dd, mesh_axes)
     xr = _gather_last(x, dd.bitrev, mesh_axes)
     y = _ntt_core(xr, dd.tw_inv, dd.k, mesh_axes)
     n_inv = dd.n_inv.reshape((FR.L,) + (1,) * (x.ndim - 1))

@@ -91,3 +91,33 @@ def test_native_fixed_base_powers_matches_python():
     edge = npr.g1_fixed_base_powers(cv.G1_GEN, [0, R - 1])
     assert edge[0] is None
     assert edge[1] == cv.G1.mul(cv.G1_GEN, R - 1)
+
+
+def test_srs_cache_integrity(tmp_path):
+    """A corrupted or tampered cached .srs must be rejected on load
+    (digest trailer + generator/tau head check in SRS.setup)."""
+    import pytest
+    srs = kzg.SRS.setup(8, cache_dir=str(tmp_path))
+    (path,) = list(tmp_path.glob("*.srs"))
+    # warm reload passes both checks
+    srs2 = kzg.SRS.setup(8, cache_dir=str(tmp_path))
+    assert srs2.g1 == srs.g1
+    # flip one byte inside a point -> digest check fires
+    data = bytearray(path.read_bytes())
+    data[len(kzg._SRS_MAGIC) + 8 + 100] ^= 0x01
+    path.write_bytes(bytes(data))
+    with pytest.raises(AssertionError, match="corrupt"):
+        kzg.SRS.setup(8, cache_dir=str(tmp_path))
+    # digest-less legacy file with a wrong head -> head check fires
+    g1, h, bh = srs.g1, srs.h, srs.beta_h
+    body = bytearray()
+    import struct as _s
+    body += _s.pack("<Q", len(g1))
+    for x, y in reversed(g1):  # reversed: g1[0] is no longer the generator
+        body += x.to_bytes(48, "little") + y.to_bytes(48, "little")
+    for pt in (h, bh):
+        for c in (*pt[0], *pt[1]):
+            body += c.to_bytes(48, "little")
+    path.write_bytes(kzg._SRS_MAGIC + bytes(body))
+    with pytest.raises(AssertionError, match="mismatch"):
+        kzg.SRS.setup(8, cache_dir=str(tmp_path))

@@ -168,8 +168,19 @@ def _msm_jac(jac_points, scalars):
     return acc
 
 
-def check(setup: IPASetup, commitments, z: int, values, proof, chi: int
-          ) -> bool:
+def check(setup: IPASetup, commitments, z: int, values, proof, chi: int,
+          msm=None) -> bool:
+    """Folded check in MSM form.
+
+    The naive verifier folds the generator vector level by level
+    (O(n log n) host point ops — minutes at 2^12+); instead the final
+    folded generator is expressed directly as <s, G> with
+    s_i = prod_j u_j^{-1 · bit_{k-1-j}(i)} (the standard Bulletproofs
+    verifier shortcut; arkworks ipa_pc::succinct_check does the same),
+    and the b-vector fold has the closed form
+    b0 = prod_j (1 + u_j^{-1} z^{n_j/2}).  One n-point Pippenger (host
+    or the device `msm` hook) replaces all point folding.
+    """
     assert len(commitments) == len(values)
     acc = (1, 1, 0)
     v = 0
@@ -180,31 +191,45 @@ def check(setup: IPASetup, commitments, z: int, values, proof, chi: int
         v = (v + val * power) % R
         power = power * chi % R
 
-    n = 1 << len(proof.rounds)
-    b = [pow(z, i, R) for i in range(n)]
-    g = [cv.jac_from_affine(p) for p in setup.g[:n]]
+    k = len(proof.rounds)
+    n = 1 << k
     u_point = cv.jac_from_affine(setup.u)
 
+    # one transcript pass re-derives the fold challenges
     transcript = Transcript(b"arkplonk-ipa")
     transcript.append_message(b"v", ser.fr_to_bytes(v))
+    us = [_fold_challenge(transcript, l_aff, r_aff)
+          for (l_aff, r_aff) in proof.rounds]
+    u_invs = [fr_inv(u) for u in us]
 
-    # C' = C + v*U, folded with the challenges
+    # C' = C + v*U + sum_j (u_j L_j + u_j^{-1} R_j)
     cprime = cv.jac_add(acc, cv.jac_mul(u_point, v))
-    for (l_aff, r_aff) in proof.rounds:
-        u = _fold_challenge(transcript, l_aff, r_aff)
-        u_inv = fr_inv(u)
-        half = n // 2
-        cprime = cv.jac_add(
-            cprime,
-            cv.jac_add(cv.jac_mul(cv.jac_from_affine(l_aff), u)
-                       if l_aff else (1, 1, 0),
-                       cv.jac_mul(cv.jac_from_affine(r_aff), u_inv)
-                       if r_aff else (1, 1, 0)))
-        b = [(lo + u_inv * hi) % R for lo, hi in zip(b[:half], b[half:])]
-        g = [cv.jac_add(glo, cv.jac_mul(ghi, u_inv))
-             for glo, ghi in zip(g[:half], g[half:])]
-        n = half
-    # expect C' == a0*G0 + a0*b0*U
-    expect = cv.jac_add(cv.jac_mul(g[0], proof.a0),
-                        cv.jac_mul(u_point, proof.a0 * b[0] % R))
-    return cv.jac_to_affine(cprime) == cv.jac_to_affine(expect)
+    for (l_aff, r_aff), u, u_inv in zip(proof.rounds, us, u_invs):
+        if l_aff is not None:
+            cprime = cv.jac_add(
+                cprime, cv.jac_mul(cv.jac_from_affine(l_aff), u))
+        if r_aff is not None:
+            cprime = cv.jac_add(
+                cprime, cv.jac_mul(cv.jac_from_affine(r_aff), u_inv))
+
+    # closed-form b fold: round j multiplies by (1 + u_j^{-1} z^(n_j/2))
+    b0 = 1
+    half = n // 2
+    for u_inv in u_invs:
+        b0 = b0 * (1 + u_inv * pow(z, half, R)) % R
+        half //= 2
+
+    # s_i = a0 * prod_j u_j^{-bit_{k-1-j}(i)}; built LSB-out so round
+    # k-1 lands on bit 0
+    s = [proof.a0 % R]
+    for j in range(k - 1, -1, -1):
+        s = s + [x * u_invs[j] % R for x in s]
+
+    # expect = <s, G> + a0*b0*U in ONE MSM
+    pts = list(setup.g[:n]) + [setup.u]
+    scs = s + [proof.a0 * b0 % R]
+    if msm is None:
+        expect = cv.msm_host(pts, scs)
+    else:
+        expect = msm(pts, scs)
+    return cv.jac_to_affine(cprime) == expect

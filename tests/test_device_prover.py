@@ -55,6 +55,10 @@ def test_device_prover_matches_host(monkeypatch):
     # noted in conftest.py); the per-round path is exactly the fallback
     # the mega prover takes on an MSM anomaly, so this also gives that
     # branch standing coverage.
+    # NOTE: test_device_mega is @pytest.mark.slow (its one mega compile
+    # is ~4 min on CPU), so a `-m "not slow"` run has NO mega-path
+    # coverage — the production default prove path is then untested.
+    # Run at least test_device_mega.py when touching proving/device*.py.
     monkeypatch.setenv("ARKPLONK_MEGA", "0")
     host_prover = Prover(b"demo", rng=mk_rng())
     build_gadget(host_prover.cs)

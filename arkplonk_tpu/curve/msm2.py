@@ -186,14 +186,26 @@ def _digits(coeffs, n: int, P: int, c: int):
 def _sort_plan(bucket, sign, half: int):
     """argsort by bucket per group row; returns order, sorted sign,
     bucket starts/ends (G, B)."""
-    order = jnp.argsort(bucket, axis=-1, stable=False)
-    sortedb = jnp.take_along_axis(bucket, order, axis=-1)
+    from ..poly import sortnet
+    G, n = bucket.shape
+    idx_bits = max(1, (n - 1).bit_length())
+    if sortnet.use_sortnet() and idx_bits + half.bit_length() <= 32:
+        iota = jax.lax.broadcasted_iota(U32, (G, n), 1)
+        skey = sortnet.sort_words(((bucket << idx_bits) | iota,))[0]
+        order = skey & ((1 << idx_bits) - 1)
+        sortedb = skey >> idx_bits
+    else:
+        order = jnp.argsort(bucket, axis=-1, stable=False)
+        sortedb = jnp.take_along_axis(bucket, order, axis=-1)
     ssign = jnp.take_along_axis(sign, order, axis=-1)
-    bvals = jnp.arange(1, half + 1, dtype=U32)
-    starts = jax.vmap(
-        lambda row: jnp.searchsorted(row, bvals, side="left"))(sortedb)
-    ends = jax.vmap(
-        lambda row: jnp.searchsorted(row, bvals, side="right"))(sortedb)
+    # scatter-add histogram instead of vmapped searchsorted (the binary
+    # search costs minutes of lazy server-side compilation at first
+    # execution on the tunnel backend; identical outputs)
+    cnt = jnp.zeros((G, half + 1), U32).at[
+        jnp.arange(G)[:, None], sortedb].add(1)
+    ends_incl = jnp.cumsum(cnt, axis=-1).astype(jnp.int32)
+    starts = ends_incl[:, :-1]
+    ends = ends_incl[:, 1:]
     return order, ssign, starts, ends
 
 

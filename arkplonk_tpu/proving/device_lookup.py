@@ -52,11 +52,24 @@ def _combine_split_fn(n: int, mesh_axes=None):
         tpos = jnp.concatenate(
             [jnp.arange(n, dtype=U32), jnp.full((n,), 2 * n, U32)])
         # tpos participates as the last sort key so each group's first
-        # element carries the group's minimal t-position
-        ops = tuple(V[i] for i in range(L)) + (tpos,)
-        sorted_ops = jax.lax.sort(ops, num_keys=L + 1)
-        Vs = jnp.stack(sorted_ops[:L])                 # (L, 2n)
-        tp = sorted_ops[L]
+        # element carries the group's minimal t-position.  The order
+        # BETWEEN different values is irrelevant (the rank re-sort below
+        # fixes the final order), only grouping + within-group tpos
+        # order matter — so the sortnet's packed-word comparator is as
+        # good as the native lexicographic one, without lax.sort's
+        # minutes-long server-side first-execution codegen (sortnet.py).
+        from ..poly import sortnet
+        if sortnet.use_sortnet():
+            words = sortnet.pack16([V[i] for i in range(L)][::-1])
+            order = sortnet.argsort_words(tuple(words) + (tpos,))
+            oidx = order.astype(jnp.int32)
+            Vs = V[:, oidx]
+            tp = tpos[oidx]
+        else:
+            ops = tuple(V[i] for i in range(L)) + (tpos,)
+            sorted_ops = jax.lax.sort(ops, num_keys=L + 1)
+            Vs = jnp.stack(sorted_ops[:L])             # (L, 2n)
+            tp = sorted_ops[L]
         prev = jnp.concatenate(
             [jnp.full((L, 1), 0xFFFFFFFF, U32), Vs[:, :-1]], axis=1)
         boundary = jnp.any(Vs != prev, axis=0).astype(U32)
@@ -70,9 +83,13 @@ def _combine_split_fn(n: int, mesh_axes=None):
             comb, (boundary, tp), axis=0)
         bad = jnp.any((boundary != 0) & (tp >= n))
 
-        ops2 = (ranks,) + tuple(Vs[i] for i in range(L))
-        sorted2 = jax.lax.sort(ops2, num_keys=1)
-        S = jnp.stack(sorted2[1:])                     # (L, 2n)
+        if sortnet.use_sortnet():
+            order2 = sortnet.argsort_words((ranks,))   # index-stable
+            S = Vs[:, order2.astype(jnp.int32)]        # (L, 2n)
+        else:
+            ops2 = (ranks,) + tuple(Vs[i] for i in range(L))
+            sorted2 = jax.lax.sort(ops2, num_keys=1)
+            S = jnp.stack(sorted2[1:])                 # (L, 2n)
         h1, h2 = S[:, 0::2], S[:, 1::2]
         if mesh_axes is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P

@@ -73,6 +73,18 @@ def device_preprocess(cs, srs, transcript, msm):
     (DeviceProverKey, VerifierKey)."""
     from .device import DeviceProverKey, enc_stack_narrow
     from ..pcs import kzg
+    import os as _os
+    import time as _time
+
+    _t = {"t0": _time.time()}
+
+    def _mark(label):
+        # host-side phase timing (ARKPLONK_PREP_TIMING=1); never touches
+        # traced code, so enabling it cannot invalidate compile caches
+        if _os.environ.get("ARKPLONK_PREP_TIMING") == "1":
+            now = _time.time()
+            print(f"[prep] {label}: +{now - _t['t0']:.2f}s", flush=True)
+            _t["t0"] = now
 
     n = cs.circuit_bound()
     host.Domain(n)  # two-adicity guard (raises InvalidEvalDomainSize)
@@ -82,18 +94,24 @@ def device_preprocess(cs, srs, transcript, msm):
         col.pad(n)
     cs.pad(n - cs.n)
 
+    _mark("pad+table")
     sel_lists = [getattr(cs, name) for name in SELECTOR_NAMES]
     table_lists = [col.elems for col in columns]
     evals16 = enc_stack_narrow([[x % R for x in lst]
                                 for lst in sel_lists + table_lists])
 
+    _mark("enc_stack_narrow")
     sigmas = perm_mod.compute_sigma_permutations(cs.variable_map, n)
     kind = np.array([[k for (k, _) in s] for s in sigmas], np.int32)
     idx = np.array([[i for (_, i) in s] for s in sigmas], np.int32)
 
+    _mark("sigma_cycles")
+    ddn = ntt.get_device_domain(n)
+    dd4n = ntt.get_device_domain(4 * n)
+    _mark("device_domains")
     coeffs, evals4, sig_lag = _prep_fn(n)(
-        ntt.get_device_domain(n), ntt.get_device_domain(4 * n),
-        evals16, jnp.asarray(kind), jnp.asarray(idx))
+        ddn, dd4n, evals16, jnp.asarray(kind), jnp.asarray(idx))
+    _mark("prep_fn dispatch")
 
     # commits in reference order (preprocess.rs:355-374): 12 selectors in
     # commit order (differs from the composer's SELECTOR_NAMES order),
@@ -108,6 +126,7 @@ def device_preprocess(cs, srs, transcript, msm):
     if msm is not None:
         for k in range(0, 20, 4):
             points.extend(msm.commit_mont_batch(commit_stack[:, k:k + 4]))
+            _mark(f"commit_batch {k // 4}")
     else:
         from .device import _dec_stack
         for k in range(20):
@@ -119,6 +138,7 @@ def device_preprocess(cs, srs, transcript, msm):
 
     vk = VerifierKey(n=cs.n, commitments=commitments)
     vk.seed_transcript(transcript)
+    _mark("vk seed")
 
     dpk = DeviceProverKey.from_device_arrays(
         n=n,
